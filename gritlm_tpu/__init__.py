@@ -1,0 +1,27 @@
+"""gritlm_tpu — a TPU-native (JAX/XLA/Pallas/pjit) framework with the capabilities of GritLM.
+
+GritLM (Generative Representational Instruction Tuning) is one decoder-only LLM
+that does both text embedding (bidirectional attention + pooling in <|embed|> mode)
+and generation (causal attention), distinguished purely by prompt format.
+Reference behavior: /root/reference (ContextualAI/gritlm); see SURVEY.md.
+
+This package is a from-scratch TPU-first redesign:
+  - models/   pure-functional Mistral/Mixtral decoders (pytree params, lax.scan layers)
+  - ops/      Pallas kernels + reference jnp paths (flash attention, pooling, top-k)
+  - parallel/ mesh + GSPMD sharding rules (data/fsdp/model/expert axes)
+  - training/ GRIT joint training: contrastive + next-token losses, scan-GradCache
+  - index/    sharded flat dense index (matmul + top-k over the mesh)
+  - rag/      doc/query KV-cache RAG engine + QA metrics
+  - eval/     MTEB/BEIR adapter + latency harness
+"""
+
+__version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # Lazy import so `import gritlm_tpu.models` works before every subsystem exists
+    if name == "GritLM":
+        from gritlm_tpu.gritlm import GritLM
+
+        return GritLM
+    raise AttributeError(name)

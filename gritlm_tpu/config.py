@@ -1,0 +1,124 @@
+"""Model configuration dataclasses.
+
+One typed config system replacing the reference's three mechanisms
+(HF dataclasses + argparse + accelerate YAML; see /root/reference SURVEY §5.6).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    """Decoder-only transformer config (Mistral / Mixtral family).
+
+    Field names intentionally mirror the HF config.json keys so checkpoints
+    can be loaded without a translation table (cf. reference
+    scripts/modeling_mistral_gritlm.py which forks the HF modeling file).
+    """
+
+    vocab_size: int = 32000
+    hidden_size: int = 4096
+    intermediate_size: int = 14336
+    num_hidden_layers: int = 32
+    num_attention_heads: int = 32
+    num_key_value_heads: int = 8
+    head_dim: Optional[int] = None
+    max_position_embeddings: int = 32768
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-5
+    sliding_window: Optional[int] = None
+    tie_word_embeddings: bool = False
+    # MoE (Mixtral). num_local_experts == 0 means dense MLP.
+    num_local_experts: int = 0
+    num_experts_per_tok: int = 2
+    router_aux_loss_coef: float = 0.02
+    # numerics
+    dtype: str = "bfloat16"  # parameter/activation dtype
+    # bookkeeping
+    model_type: str = "mistral"
+
+    @property
+    def head_dim_(self) -> int:
+        return self.head_dim or self.hidden_size // self.num_attention_heads
+
+    @property
+    def jnp_dtype(self):
+        return jnp.dtype(self.dtype)
+
+    @property
+    def is_moe(self) -> bool:
+        return self.num_local_experts > 0
+
+    @classmethod
+    def from_hf_config(cls, path_or_dict) -> "ModelConfig":
+        """Build from an HF config.json path or dict (mistral/mixtral)."""
+        if isinstance(path_or_dict, (str,)):
+            with open(path_or_dict) as f:
+                d = json.load(f)
+        else:
+            d = dict(path_or_dict)
+        known = {f.name for f in dataclasses.fields(cls)}
+        kwargs = {k: v for k, v in d.items() if k in known}
+        if d.get("model_type") == "mixtral":
+            kwargs.setdefault("num_local_experts", d.get("num_local_experts", 8))
+        else:
+            kwargs["num_local_experts"] = 0
+        kwargs["model_type"] = d.get("model_type", "mistral")
+        # HF configs may carry torch dtype strings
+        td = d.get("torch_dtype")
+        if td in ("bfloat16", "float32", "float16"):
+            kwargs["dtype"] = "bfloat16" if td == "float16" else td
+        return cls(**kwargs)
+
+
+# ---------------------------------------------------------------------------
+# Presets
+
+
+def mistral_7b() -> ModelConfig:
+    return ModelConfig()
+
+
+def mixtral_8x7b() -> ModelConfig:
+    return ModelConfig(
+        num_local_experts=8,
+        num_experts_per_tok=2,
+        model_type="mixtral",
+    )
+
+
+def tiny_mistral(vocab_size: int = 512) -> ModelConfig:
+    """Tiny config for tests — analogue of openaccess-ai-collective/tiny-mistral
+    used by the reference's smoke runs (README.md:335-389)."""
+    return ModelConfig(
+        vocab_size=vocab_size,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=2048,
+        dtype="float32",
+    )
+
+
+def tiny_mixtral(vocab_size: int = 512) -> ModelConfig:
+    return ModelConfig(
+        vocab_size=vocab_size,
+        hidden_size=64,
+        intermediate_size=128,
+        num_hidden_layers=2,
+        num_attention_heads=4,
+        num_key_value_heads=2,
+        max_position_embeddings=2048,
+        num_local_experts=4,
+        num_experts_per_tok=2,
+        model_type="mixtral",
+        dtype="float32",
+    )

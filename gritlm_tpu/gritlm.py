@@ -1,0 +1,334 @@
+"""GritLM — unified embedding + generation API (TPU/JAX).
+
+Same capabilities as the reference `gritlm` pip package (gritlm/gritlm.py):
+modes unified/embedding/generative, 4 pooling methods, instruction masking,
+embed_eos, optional projection head, KV-cache capture, encode_queries/corpus,
+generate. Redesigned around jit: tokenized batches are bucketed to a small
+set of static shapes, the encode step is one compiled function per bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gritlm_tpu.config import ModelConfig
+from gritlm_tpu.models.transformer import (
+    KVCache,
+    forward,
+    init_cache,
+    init_params,
+)
+from gritlm_tpu.generate import GenerateResult, generate, make_cache_for_prompt
+from gritlm_tpu.ops.pooling import POOLING_METHODS, mask_instruction, pool
+from gritlm_tpu.tokenizer import load_tokenizer
+
+ATTN_MODES = ("bbcc", "cccc", "bb", "cc")
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "pooling_method", "causal", "normalized", "has_projection"),
+)
+def _encode_step(
+    params: dict,
+    projection: Optional[dict],
+    cfg: ModelConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    pool_mask: jax.Array,
+    *,
+    pooling_method: str,
+    causal: bool,
+    normalized: bool,
+    has_projection: bool,
+) -> jax.Array:
+    hidden, _, _ = forward(
+        params, cfg, input_ids, attention_mask=attention_mask, causal=causal
+    )
+    if has_projection:
+        hidden = hidden @ projection["kernel"] + projection["bias"]
+    emb = pool(hidden, pool_mask, pooling_method)  # fp32
+    if normalized:
+        emb = emb / jnp.clip(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+    return emb
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "pooling_method", "causal", "normalized", "has_projection", "cache_len"),
+)
+def _encode_step_with_cache(
+    params: dict,
+    projection: Optional[dict],
+    cfg: ModelConfig,
+    input_ids: jax.Array,
+    attention_mask: jax.Array,
+    pool_mask: jax.Array,
+    *,
+    pooling_method: str,
+    causal: bool,
+    normalized: bool,
+    has_projection: bool,
+    cache_len: int,
+):
+    cache = init_cache(cfg, input_ids.shape[0], cache_len)
+    hidden, cache, _ = forward(
+        params, cfg, input_ids,
+        attention_mask=attention_mask, causal=causal, cache=cache,
+    )
+    if has_projection:
+        hidden = hidden @ projection["kernel"] + projection["bias"]
+    emb = pool(hidden, pool_mask, pooling_method)
+    if normalized:
+        emb = emb / jnp.clip(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+    return emb, cache
+
+
+class GritLM:
+    """Unified embedding+generation model.
+
+    Construction is explicit (params/config/tokenizer) or from an HF-style
+    checkpoint directory via `from_pretrained` (models/loader.py).
+    """
+
+    def __init__(
+        self,
+        config: ModelConfig,
+        params: Optional[dict] = None,
+        tokenizer=None,
+        *,
+        mode: str = "unified",  # unified | embedding | generative
+        pooling_method: str = "mean",
+        normalized: bool = True,
+        projection: Optional[int] = None,
+        embed_eos: str = "",
+        attn: str = "bbcc",
+        seed: int = 0,
+        seq_buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048, 4096),
+    ) -> None:
+        if attn is not None and attn not in ATTN_MODES:
+            raise ValueError(
+                f"Mixed attention not supported: {attn}. Use one of {ATTN_MODES}"
+            )
+        if pooling_method not in POOLING_METHODS:
+            raise NotImplementedError(f"Unknown pooling method: {pooling_method}")
+        self.config = config
+        self.mode = mode
+        self.pooling_method = pooling_method
+        self.normalized = normalized
+        self.embed_eos = embed_eos
+        self.attn = attn
+        self.seq_buckets = tuple(seq_buckets)
+        self.tokenizer = tokenizer or load_tokenizer(None)
+
+        key = jax.random.PRNGKey(seed)
+        if params is None:
+            params = init_params(config, key, with_lm_head=(mode != "embedding"))
+        self.params = params
+
+        self.projection = None
+        if projection is not None:
+            kp, kb = jax.random.split(jax.random.PRNGKey(seed + 1))
+            lim = (6.0 / (config.hidden_size + projection)) ** 0.5
+            self.projection = {
+                "kernel": jax.random.uniform(
+                    kp, (config.hidden_size, projection), jnp.float32, -lim, lim
+                ).astype(config.jnp_dtype),
+                "bias": jnp.zeros((projection,), config.jnp_dtype),
+            }
+
+    # ------------------------------------------------------------------ utils
+
+    @classmethod
+    def from_pretrained(cls, path: str, **kwargs) -> "GritLM":
+        from gritlm_tpu.models.loader import load_checkpoint
+
+        cfg, params = load_checkpoint(
+            path, with_lm_head=(kwargs.get("mode", "unified") != "embedding")
+        )
+        tok = load_tokenizer(path)
+        return cls(cfg, params=params, tokenizer=tok, **kwargs)
+
+    @property
+    def embed_causal(self) -> bool:
+        return not (self.attn is not None and self.attn[:2] == "bb")
+
+    # ----------------------------------------------------------------- encode
+
+    def encode_queries(self, queries: Union[List[str], str], **kwargs) -> np.ndarray:
+        return self.encode(queries, **kwargs)
+
+    def encode_corpus(
+        self, corpus: Union[List[str], str, List[Dict[str, str]]], **kwargs
+    ) -> np.ndarray:
+        if isinstance(corpus, dict):
+            corpus = [corpus]
+        if isinstance(corpus, list) and isinstance(corpus[0], dict):
+            corpus = [
+                d["title"] + " " + d["text"] if "title" in d else d["text"]
+                for d in corpus
+            ]
+        return self.encode(corpus, **kwargs)
+
+    def encode(
+        self,
+        sentences: Union[List[str], str],
+        batch_size: int = 256,
+        max_length: int = 512,
+        instruction: str = "",
+        embed_instruction: bool = False,
+        get_cache: bool = False,
+        convert_to_tensor: bool = False,
+        add_special_tokens: bool = True,
+    ):
+        """Embed sentences (reference semantics: gritlm/gritlm.py:92-176).
+
+        Prompt = instruction + sentence + embed_eos; instruction tokens are
+        excluded from mean/weightedmean pooling unless embed_instruction.
+        """
+        input_was_string = isinstance(sentences, str)
+        if input_was_string:
+            sentences = [sentences]
+        if len(sentences) == 0:
+            dim = (
+                self.projection["kernel"].shape[1]
+                if self.projection is not None
+                else self.config.hidden_size
+            )
+            return np.zeros((0, dim), np.float32)
+
+        instr_len = 0
+        if instruction and not embed_instruction and "mean" in self.pooling_method:
+            instr_len = self.tokenizer.tokenize_len(
+                instruction, add_special_tokens=add_special_tokens
+            )
+
+        all_embeddings, all_kv_caches = [], None
+        for start in range(0, len(sentences), batch_size):
+            batch = [
+                instruction + s + self.embed_eos
+                for s in sentences[start : start + batch_size]
+            ]
+            enc = self.tokenizer(
+                batch, max_length=max_length, add_special_tokens=add_special_tokens
+            )
+            ids, mask = enc["input_ids"], enc["attention_mask"]
+            blen = _bucket(ids.shape[1], self.seq_buckets)
+            blen = min(blen, max_length)
+            if ids.shape[1] < blen:
+                padw = blen - ids.shape[1]
+                ids = np.pad(ids, ((0, 0), (0, padw)),
+                             constant_values=self.tokenizer.pad_token_id)
+                mask = np.pad(mask, ((0, 0), (0, padw)))
+            pmask = mask.copy()
+            if instr_len:
+                pmask[:, :instr_len] = 0
+            ids_j = jnp.asarray(ids)
+            mask_j = jnp.asarray(mask)
+            pmask_j = jnp.asarray(pmask)
+            kw = dict(
+                pooling_method=self.pooling_method,
+                causal=self.embed_causal,
+                normalized=self.normalized,
+                has_projection=self.projection is not None,
+            )
+            if get_cache:
+                assert all_kv_caches is None, "Can only get cache for one batch"
+                emb, all_kv_caches = _encode_step_with_cache(
+                    self.params, self.projection, self.config,
+                    ids_j, mask_j, pmask_j, cache_len=blen, **kw,
+                )
+            else:
+                emb = _encode_step(
+                    self.params, self.projection, self.config,
+                    ids_j, mask_j, pmask_j, **kw,
+                )
+            all_embeddings.append(
+                emb if convert_to_tensor else np.asarray(jax.device_get(emb), np.float32)
+            )
+
+        out = (
+            jnp.concatenate(all_embeddings, axis=0)
+            if convert_to_tensor
+            else np.concatenate(all_embeddings, axis=0)
+        )
+        if input_was_string:
+            out = out[0]
+        if get_cache:
+            return out, all_kv_caches
+        return out
+
+    # --------------------------------------------------------------- generate
+
+    def generate_from_ids(
+        self,
+        input_ids: np.ndarray,
+        attention_mask: np.ndarray,
+        *,
+        cache: Optional[KVCache] = None,
+        max_new_tokens: int = 16,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        seed: int = 0,
+    ) -> GenerateResult:
+        if cache is None:
+            cache = make_cache_for_prompt(
+                self.config, input_ids.shape[0], input_ids.shape[1], max_new_tokens
+            )
+        else:
+            from gritlm_tpu.generate import pad_cache_to
+
+            need = int(cache.k.shape[2])
+            want = int(cache.length) + input_ids.shape[1] + max_new_tokens
+            if need < want:
+                cache = pad_cache_to(cache, ((want + 127) // 128) * 128)
+        return generate(
+            self.params, self.config,
+            jnp.asarray(input_ids), jnp.asarray(attention_mask), cache,
+            jax.random.PRNGKey(seed),
+            max_new_tokens=max_new_tokens, temperature=temperature, top_k=top_k,
+            eos_id=self.tokenizer.eos_token_id, pad_id=self.tokenizer.pad_token_id,
+        )
+
+    def generate(
+        self,
+        prompts: Union[str, List[str]],
+        *,
+        max_new_tokens: int = 16,
+        temperature: float = 0.0,
+        top_k: int = 0,
+        max_length: int = 2048,
+        cache: Optional[KVCache] = None,
+        add_special_tokens: bool = True,
+        seed: int = 0,
+    ) -> Union[str, List[str]]:
+        was_str = isinstance(prompts, str)
+        if was_str:
+            prompts = [prompts]
+        enc = self.tokenizer(
+            prompts, max_length=max_length, add_special_tokens=add_special_tokens
+        )
+        res = self.generate_from_ids(
+            enc["input_ids"], enc["attention_mask"],
+            cache=cache, max_new_tokens=max_new_tokens,
+            temperature=temperature, top_k=top_k, seed=seed,
+        )
+        toks = np.asarray(res.tokens)
+        nv = np.asarray(res.num_valid)
+        outs = [
+            self.tokenizer.decode(toks[i, : nv[i]], skip_special_tokens=True)
+            for i in range(len(prompts))
+        ]
+        return outs[0] if was_str else outs

@@ -1,0 +1,353 @@
+"""Decoder-only transformer (Mistral / Mixtral family) as pure functions.
+
+TPU-first redesign of the reference's forked HF modeling files
+(scripts/modeling_mistral_gritlm.py, scripts/modeling_mixtral_gritlm.py):
+the 3k-LoC `is_causal` threading collapses to a single `causal: bool`
+argument on `forward`. Params are a pytree with layers **stacked on a
+leading axis** so the layer loop is a `jax.lax.scan` (fast compiles,
+sharding rules written once against the stacked arrays).
+
+Layout (shapes; L = layers, D = hidden, F = ffn, H = heads, Kv = kv heads,
+Dh = head dim, V = vocab, E = experts):
+  params = {
+    "embed":   {"embedding": [V, D]},
+    "layers": {
+      "ln1": {"scale": [L, D]},
+      "attn": {"wq": [L, D, H*Dh], "wk": [L, D, Kv*Dh], "wv": [L, D, Kv*Dh],
+               "wo": [L, H*Dh, D]},
+      "ln2": {"scale": [L, D]},
+      # dense:  "mlp": {"gate": [L, D, F], "up": [L, D, F], "down": [L, F, D]}
+      # moe:    "moe": {"router": [L, D, E], "gate": [L, E, D, F],
+      #                 "up": [L, E, D, F], "down": [L, E, F, D]}
+    },
+    "final_ln": {"scale": [D]},
+    "lm_head": {"kernel": [D, V]}    # optional (embedding-only ckpts omit it)
+  }
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from gritlm_tpu.config import ModelConfig
+from gritlm_tpu.ops.attention import multi_head_attention
+
+# ---------------------------------------------------------------------------
+# Param init
+
+
+def init_params(cfg: ModelConfig, key: jax.Array, with_lm_head: bool = True):
+    """Random init (normal/0.02) with the layer axis stacked. Tests + tiny smoke
+    runs use this; real checkpoints come from models/loader.py."""
+    L, D, F = cfg.num_hidden_layers, cfg.hidden_size, cfg.intermediate_size
+    H, Kv, Dh, V = (
+        cfg.num_attention_heads,
+        cfg.num_key_value_heads,
+        cfg.head_dim_,
+        cfg.vocab_size,
+    )
+    dt = cfg.jnp_dtype
+    keys = iter(jax.random.split(key, 16))
+
+    def norm(k, shape):
+        return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dt)
+
+    layers = {
+        "ln1": {"scale": jnp.ones((L, D), dt)},
+        "attn": {
+            "wq": norm(next(keys), (L, D, H * Dh)),
+            "wk": norm(next(keys), (L, D, Kv * Dh)),
+            "wv": norm(next(keys), (L, D, Kv * Dh)),
+            "wo": norm(next(keys), (L, H * Dh, D)),
+        },
+        "ln2": {"scale": jnp.ones((L, D), dt)},
+    }
+    if cfg.is_moe:
+        E = cfg.num_local_experts
+        layers["moe"] = {
+            "router": norm(next(keys), (L, D, E)),
+            "gate": norm(next(keys), (L, E, D, F)),
+            "up": norm(next(keys), (L, E, D, F)),
+            "down": norm(next(keys), (L, E, F, D)),
+        }
+    else:
+        layers["mlp"] = {
+            "gate": norm(next(keys), (L, D, F)),
+            "up": norm(next(keys), (L, D, F)),
+            "down": norm(next(keys), (L, F, D)),
+        }
+    params = {
+        "embed": {"embedding": norm(next(keys), (V, D))},
+        "layers": layers,
+        "final_ln": {"scale": jnp.ones((D,), dt)},
+    }
+    if with_lm_head:
+        if cfg.tie_word_embeddings:
+            pass  # lm head = embed.T at apply time
+        else:
+            params["lm_head"] = {"kernel": norm(next(keys), (D, V))}
+    return params
+
+
+# ---------------------------------------------------------------------------
+# Building blocks
+
+
+def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
+    dt = x.dtype
+    x = x.astype(jnp.float32)
+    var = jnp.mean(jnp.square(x), axis=-1, keepdims=True)
+    x = x * jax.lax.rsqrt(var + eps)
+    # HF Mistral casts back to input dtype *before* the scale multiply
+    return x.astype(dt) * scale.astype(dt)
+
+
+def _rope_freqs(dh: int, theta: float) -> jax.Array:
+    return 1.0 / (theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+
+
+def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+    """HF half-rotation convention: rotate_half([a, b]) = [-b, a] with the split
+    at Dh/2 (matches modeling_mistral rotate_half so HF weights are portable).
+    x [B, S, H, Dh], positions [B, S]."""
+    dh = x.shape[-1]
+    freqs = _rope_freqs(dh, theta)  # [Dh/2]
+    angles = positions[..., None].astype(jnp.float32) * freqs  # [B, S, Dh/2]
+    cos = jnp.cos(angles)[:, :, None, :]  # [B, S, 1, Dh/2]
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = x[..., : dh // 2], x[..., dh // 2 :]
+    x1f, x2f = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    out = jnp.concatenate([x1f * cos - x2f * sin, x2f * cos + x1f * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+class KVCache(NamedTuple):
+    """Static-shape KV cache. k/v: [L, B, Smax, Kv, Dh]; mask: [B, Smax] marks
+    valid key slots (lets RAG concatenate right-padded segment caches, cf.
+    reference rag/eval.py:237-295); length: scalar int32 write pointer."""
+
+    k: jax.Array
+    v: jax.Array
+    mask: jax.Array
+    length: jax.Array
+
+    @property
+    def max_len(self) -> int:
+        return self.k.shape[2]
+
+
+def init_cache(cfg: ModelConfig, batch: int, max_len: int, dtype=None) -> KVCache:
+    L, Kv, Dh = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim_
+    dt = dtype or cfg.jnp_dtype
+    return KVCache(
+        k=jnp.zeros((L, batch, max_len, Kv, Dh), dt),
+        v=jnp.zeros((L, batch, max_len, Kv, Dh), dt),
+        mask=jnp.zeros((batch, max_len), jnp.int32),
+        length=jnp.zeros((), jnp.int32),
+    )
+
+
+def _attention_block(
+    p: dict,
+    x: jax.Array,  # [B, S, D]
+    positions: jax.Array,  # [B, S]
+    padding_mask: Optional[jax.Array],  # [B, S] for self-attn (no cache)
+    cfg: ModelConfig,
+    *,
+    causal: bool,
+    layer_cache: Optional[tuple] = None,  # (k [B,Smax,Kv,Dh], v, kv_mask [B,Smax], offset)
+):
+    B, S, D = x.shape
+    H, Kv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
+    q = (x @ p["wq"]).reshape(B, S, H, Dh)
+    k = (x @ p["wk"]).reshape(B, S, Kv, Dh)
+    v = (x @ p["wv"]).reshape(B, S, Kv, Dh)
+    q = apply_rope(q, positions, cfg.rope_theta)
+    k = apply_rope(k, positions, cfg.rope_theta)
+
+    if layer_cache is not None:
+        ck, cv, kv_mask, offset = layer_cache
+        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, offset, 0, 0))
+        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, offset, 0, 0))
+        out = multi_head_attention(
+            q, ck, cv, kv_mask,
+            causal=causal, sliding_window=cfg.sliding_window, offset=offset,
+        )
+        new_kv = (ck, cv)
+    else:
+        out = multi_head_attention(
+            q, k, v, padding_mask,
+            causal=causal, sliding_window=cfg.sliding_window,
+        )
+        new_kv = (k, v)
+    out = out.reshape(B, S, H * Dh) @ p["wo"]
+    return out, new_kv
+
+
+def _dense_mlp(p: dict, x: jax.Array) -> jax.Array:
+    return (jax.nn.silu(x @ p["gate"]) * (x @ p["up"])) @ p["down"]
+
+
+def _moe_mlp(p: dict, x: jax.Array, cfg: ModelConfig):
+    """Mixtral token-choice top-k MoE (softmax → top-k → renormalize), computed
+    densely: every expert runs on every token, combined by the gate weights.
+    Correct and MXU-friendly; E/k× extra FLOPs. The expert-parallel dropless
+    path lands with the `expert` mesh axis (SURVEY §2.8 EP row).
+    Returns (out [B,S,D], router_logits [B*S, E])."""
+    B, S, D = x.shape
+    xt = x.reshape(B * S, D)
+    router_logits = (xt @ p["router"]).astype(jnp.float32)  # [T, E]
+    probs = jax.nn.softmax(router_logits, axis=-1)
+    top_w, top_idx = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)  # renormalize over top-k
+    combine = jax.nn.one_hot(top_idx, probs.shape[-1], dtype=probs.dtype)  # [T, k, E]
+    combine = jnp.einsum("tk,tke->te", top_w, combine)  # [T, E]
+    h = jnp.einsum("td,edf->etf", xt, p["gate"])
+    u = jnp.einsum("td,edf->etf", xt, p["up"])
+    y = jnp.einsum("etf,efd->etd", jax.nn.silu(h) * u, p["down"])  # [E, T, D]
+    out = jnp.einsum("te,etd->td", combine.astype(y.dtype), y)
+    return out.reshape(B, S, D), router_logits
+
+
+def load_balancing_loss(router_logits: jax.Array, cfg: ModelConfig,
+                        padding_mask: Optional[jax.Array] = None) -> jax.Array:
+    """Switch-style aux loss over all layers' router logits, with the padding
+    correction of the reference (scripts/modeling_mixtral_gritlm.py:80-153).
+    router_logits: [L, T, E] (T = B*S); padding_mask: [B, S] or None."""
+    L, T, E = router_logits.shape
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    _, top_idx = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+    expert_mask = jax.nn.one_hot(top_idx, E, dtype=jnp.float32)  # [L, T, k, E]
+    if padding_mask is not None:
+        w = padding_mask.reshape(1, T, 1, 1).astype(jnp.float32)
+        tokens = jnp.maximum(jnp.sum(padding_mask), 1.0)
+        tokens_per_expert = jnp.sum(expert_mask * w, axis=(0, 1, 2)) / (
+            tokens * L * cfg.num_experts_per_tok
+        ) * E  # fraction routed per expert (scaled)
+        router_prob = jnp.sum(probs * w[:, :, 0, :], axis=(0, 1)) / (tokens * L)
+    else:
+        tokens_per_expert = jnp.mean(jnp.sum(expert_mask, axis=2), axis=(0, 1))
+        router_prob = jnp.mean(probs, axis=(0, 1))
+    return jnp.sum(tokens_per_expert * router_prob) * E
+
+
+# ---------------------------------------------------------------------------
+# Forward
+
+
+def forward(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids: jax.Array,  # [B, S]
+    *,
+    attention_mask: Optional[jax.Array] = None,  # [B, S] 1 = real token
+    causal: bool = True,
+    positions: Optional[jax.Array] = None,  # [B, S]
+    cache: Optional[KVCache] = None,
+    remat: bool = False,
+    output_router_logits: bool = False,
+):
+    """Run the trunk (no LM head). Returns (hidden [B,S,D], new_cache, aux).
+
+    `causal=False` is the GritLM <|embed|> mode: full bidirectional attention
+    under the padding mask (reference MistralModel.forward is_causal kwarg,
+    scripts/modeling_mistral_gritlm.py:936-1036).
+
+    With `cache`, keys/values are written at `cache.length` and attention runs
+    over all valid cache slots (cache.mask) — used for prefill + decode and
+    for RAG cache reuse.
+    """
+    B, S = input_ids.shape
+    x = jnp.take(params["embed"]["embedding"], input_ids, axis=0)
+
+    if positions is None:
+        if cache is not None:
+            positions = cache.length + jnp.arange(S)[None, :]
+            positions = jnp.broadcast_to(positions, (B, S))
+        else:
+            positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+
+    if cache is not None:
+        offset = cache.length
+        step_mask = (
+            attention_mask
+            if attention_mask is not None
+            else jnp.ones((B, S), jnp.int32)
+        )
+        kv_mask = jax.lax.dynamic_update_slice(
+            cache.mask, step_mask.astype(cache.mask.dtype), (0, offset)
+        )
+    else:
+        offset = 0
+        kv_mask = None
+
+    def layer_fn(carry, layer_params_and_cache):
+        x = carry
+        lp, lc = layer_params_and_cache
+        h = rms_norm(x, lp["ln1"]["scale"], cfg.rms_norm_eps)
+        layer_cache = None
+        if cache is not None:
+            layer_cache = (lc[0], lc[1], kv_mask, offset)
+        attn_out, new_kv = _attention_block(
+            lp["attn"], h, positions, attention_mask, cfg,
+            causal=causal, layer_cache=layer_cache,
+        )
+        x = x + attn_out
+        h = rms_norm(x, lp["ln2"]["scale"], cfg.rms_norm_eps)
+        if cfg.is_moe:
+            mlp_out, router_logits = _moe_mlp(lp["moe"], h, cfg)
+        else:
+            mlp_out = _dense_mlp(lp["mlp"], h)
+            router_logits = jnp.zeros((0,), jnp.float32)
+        x = x + mlp_out
+        out_aux = (new_kv[0], new_kv[1], router_logits) if (
+            cache is not None or output_router_logits
+        ) else (router_logits,)
+        return x, out_aux
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+
+    layer_caches = (
+        (cache.k, cache.v) if cache is not None
+        else jnp.zeros((cfg.num_hidden_layers,), jnp.float32)  # dummy xs
+    )
+    x, ys = jax.lax.scan(layer_fn, x, (params["layers"], layer_caches))
+    x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
+
+    new_cache = None
+    aux = {}
+    if cache is not None:
+        new_k, new_v = ys[0], ys[1]
+        new_cache = KVCache(
+            k=new_k, v=new_v, mask=kv_mask, length=cache.length + S
+        )
+        if output_router_logits:
+            aux["router_logits"] = ys[2]
+    elif output_router_logits:
+        aux["router_logits"] = ys[-1]
+    return x, new_cache, aux
+
+
+def logits_from_hidden(params: dict, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
+    if "lm_head" in params:
+        kernel = params["lm_head"]["kernel"]
+    elif cfg.tie_word_embeddings:
+        kernel = params["embed"]["embedding"].T
+    else:
+        raise ValueError("No LM head in params and embeddings are not tied")
+    return hidden @ kernel
+
+
+def forward_lm(params, cfg, input_ids, **kw):
+    """Trunk + LM head → (logits [B,S,V], new_cache, aux)."""
+    hidden, new_cache, aux = forward(params, cfg, input_ids, **kw)
+    return logits_from_hidden(params, cfg, hidden), new_cache, aux
+
+
+def count_params(params) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(params))

@@ -1,0 +1,118 @@
+"""Attention entry point.
+
+One attention function with a `causal: bool` flag + padding mask — the single
+behavioral delta that makes GritLM GritLM (replaces the reference's 3k-LoC HF
+fork threading `is_causal` through MistralModel.forward → DecoderLayer →
+Attention, scripts/modeling_mistral_gritlm.py:936-1069).
+
+Two implementations:
+  - `mha_reference`: pure jnp (einsum + softmax) — runs anywhere, used on CPU
+    test meshes and as the numerics oracle.
+  - Pallas flash attention (gritlm_tpu.ops.flash_attention) — blockwise,
+    TPU-only hot path; selected automatically on TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def make_attention_bias(
+    padding_mask: Optional[jax.Array],  # [B, Sk] 1 = attend, 0 = pad
+    q_len: int,
+    kv_len: int,
+    *,
+    causal: bool,
+    sliding_window: Optional[int] = None,
+    offset: int | jax.Array = 0,
+    dtype=jnp.float32,
+) -> Optional[jax.Array]:
+    """Build an additive attention bias [B or 1, 1, Sq, Sk].
+
+    `offset` is the absolute position of query row 0 (used during decode where
+    q_len==1 but kv_len==cache length). Mirrors the semantics of the reference
+    mask switch (scripts/modeling_mistral_gritlm.py:1005-1036): causal-4d with
+    optional sliding window when `causal`, plain padding expansion otherwise.
+    """
+    biases = []
+    if causal:
+        q_pos = offset + jnp.arange(q_len)[:, None]  # [Sq, 1]
+        k_pos = jnp.arange(kv_len)[None, :]  # [1, Sk]
+        keep = k_pos <= q_pos
+        if sliding_window is not None:
+            keep &= k_pos > q_pos - sliding_window
+        biases.append(jnp.where(keep, 0.0, NEG_INF)[None, None, :, :])
+    if padding_mask is not None:
+        pad = jnp.where(padding_mask.astype(bool), 0.0, NEG_INF)
+        biases.append(pad[:, None, None, :])
+    if not biases:
+        return None
+    out = functools.reduce(lambda a, b: a + b, biases)
+    return out.astype(dtype)
+
+
+def mha_reference(
+    q: jax.Array,  # [B, Sq, H, D]
+    k: jax.Array,  # [B, Sk, Hkv, D]
+    v: jax.Array,  # [B, Sk, Hkv, D]
+    bias: Optional[jax.Array],  # [B or 1, 1 or H, Sq, Sk] additive
+    *,
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Grouped-query attention, fp32 softmax accumulation. Returns [B, Sq, H, D]."""
+    b, sq, h, d = q.shape
+    hkv = k.shape[2]
+    if scale is None:
+        scale = d ** -0.5
+    groups = h // hkv
+    qg = q.reshape(b, sq, hkv, groups, d)
+    # scores: [B, Hkv, G, Sq, Sk]
+    scores = jnp.einsum("bqhgd,bkhd->bhgqk", qg, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if bias is not None:
+        nb = bias.shape[1]
+        if nb == 1:
+            scores = scores + bias[:, :, None, :, :]
+        else:
+            scores = scores + bias.reshape(bias.shape[0], hkv, groups, *bias.shape[2:])
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhgqk,bkhd->bqhgd", probs.astype(v.dtype), v)
+    return out.reshape(b, sq, h, d)
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    padding_mask: Optional[jax.Array],
+    *,
+    causal: bool,
+    sliding_window: Optional[int] = None,
+    offset: int | jax.Array = 0,
+    impl: str = "auto",
+) -> jax.Array:
+    """Dispatching attention entry point. q [B,Sq,H,D], k/v [B,Sk,Hkv,D]."""
+    if impl == "auto":
+        backend = jax.default_backend()
+        impl = "flash" if backend == "tpu" else "reference"
+    if impl == "flash":
+        from gritlm_tpu.ops.flash_attention import flash_attention
+
+        try:
+            return flash_attention(
+                q, k, v, padding_mask,
+                causal=causal, sliding_window=sliding_window, offset=offset,
+            )
+        except NotImplementedError:
+            impl = "reference"
+    bias = make_attention_bias(
+        padding_mask, q.shape[1], k.shape[1],
+        causal=causal, sliding_window=sliding_window, offset=offset,
+    )
+    return mha_reference(q, k, v, bias)

@@ -1,0 +1,90 @@
+import numpy as np
+import pytest
+
+from gritlm_tpu.config import tiny_mistral
+from gritlm_tpu.gritlm import GritLM
+
+
+@pytest.fixture(scope="module")
+def model():
+    return GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0)
+
+
+def test_encode_shapes_and_norm(model):
+    embs = model.encode(["hello world", "a", "third sentence here"], batch_size=2)
+    assert embs.shape == (3, model.config.hidden_size)
+    np.testing.assert_allclose(np.linalg.norm(embs, axis=1), 1.0, atol=1e-5)
+
+
+def test_encode_string_returns_1d(model):
+    e = model.encode("just one")
+    assert e.shape == (model.config.hidden_size,)
+
+
+def test_batch_independence(model):
+    """Embedding of a sentence must not depend on what else is in the batch."""
+    a = model.encode(["same sentence", "padding buddy that is much longer " * 4])
+    b = model.encode("same sentence")
+    np.testing.assert_allclose(a[0], b, atol=2e-5)
+
+
+def test_instruction_masking_changes_embedding(model):
+    instr = "<|user|>\nRepresent this\n<|embed|>\n"
+    with_mask = model.encode(["doc text"], instruction=instr)
+    embedded_instr = model.encode(["doc text"], instruction=instr, embed_instruction=True)
+    assert not np.allclose(with_mask, embedded_instr, atol=1e-4)
+
+
+def test_attn_mode_changes_embedding():
+    m_bb = GritLM(tiny_mistral(), attn="bbcc", seed=0)
+    m_cc = GritLM(tiny_mistral(), attn="cccc", seed=0)
+    e_bb = m_bb.encode("some text to embed")
+    e_cc = m_cc.encode("some text to embed")
+    assert not np.allclose(e_bb, e_cc, atol=1e-4)
+
+
+def test_invalid_attn_mode_rejected():
+    with pytest.raises(ValueError):
+        GritLM(tiny_mistral(), attn="cb")
+
+
+def test_encode_queries_corpus(model):
+    q = model.encode_queries(["what is x?"])
+    c = model.encode_corpus([{"title": "T", "text": "body"}, {"text": "no title"}])
+    assert q.shape[0] == 1 and c.shape[0] == 2
+
+
+def test_get_cache(model):
+    emb, cache = model.encode(["cache me"], get_cache=True)
+    assert cache is not None
+    assert cache.k.shape[0] == model.config.num_hidden_layers
+    assert int(cache.length) > 0
+
+
+def test_projection_head():
+    m = GritLM(tiny_mistral(), projection=32, seed=0)
+    e = m.encode(["projected"])
+    assert e.shape == (1, 32)
+    assert m.encode("projected").shape == (32,)
+
+
+def test_generate(model):
+    out = model.generate(["<s><|user|>\nHi\n<|assistant|>\n"], max_new_tokens=8)
+    assert isinstance(out, list) and len(out) == 1
+    assert isinstance(out[0], str)
+
+
+def test_generate_deterministic_greedy(model):
+    p = "<s><|user|>\nHello\n<|assistant|>\n"
+    a = model.generate(p, max_new_tokens=6)
+    b = model.generate(p, max_new_tokens=6)
+    assert a == b
+
+
+def test_generate_batch_padding_invariance(model):
+    """Greedy decode of a prompt must not change when batched with a longer one."""
+    p1 = "<s><|user|>\nHello there friend\n<|assistant|>\n"
+    p2 = "<s><|user|>\nA much longer prompt with extra words\n<|assistant|>\n"
+    solo = model.generate([p1], max_new_tokens=5)
+    duo = model.generate([p1, p2], max_new_tokens=5)
+    assert solo[0] == duo[0]
