@@ -1,0 +1,1 @@
+from gritlm_tpu.index.flat import FlatIndex  # noqa: F401

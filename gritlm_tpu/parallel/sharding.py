@@ -1,0 +1,90 @@
+"""GSPMD sharding rules for the stacked-layer param tree.
+
+Replaces the reference's FSDP/ZeRO YAML zoo (scripts/configs/*.yml; SURVEY
+§2.8): parameters get NamedShardings over the (data, fsdp, model, expert)
+mesh and XLA inserts the all-gathers / reduce-scatters that FSDP and
+Megatron-TP do by hand.
+
+Tensor-parallel layout is the standard column/row split:
+  wq/wk/wv, mlp gate/up : output dim on `model`  (column parallel)
+  wo, mlp down          : input dim on `model`   (row parallel → psum fused)
+FSDP shards the opposite dim of each kernel. MoE expert tensors add the
+`expert` axis on the leading expert dim.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from gritlm_tpu.parallel.mesh import (
+    AXIS_EXPERT,
+    AXIS_FSDP,
+    AXIS_MODEL,
+    BATCH_AXES,
+)
+
+
+def param_partition_specs(params: Dict[str, Any]) -> Dict[str, Any]:
+    """Build a pytree of PartitionSpecs matching `params` (models/transformer
+    layout). Works for dense and MoE trees."""
+    specs: Dict[str, Any] = {
+        "embed": {"embedding": P(AXIS_MODEL, AXIS_FSDP)},
+        "final_ln": {"scale": P(None)},
+    }
+    layers: Dict[str, Any] = {
+        "ln1": {"scale": P(None, None)},
+        "ln2": {"scale": P(None, None)},
+        "attn": {
+            "wq": P(None, AXIS_FSDP, AXIS_MODEL),
+            "wk": P(None, AXIS_FSDP, AXIS_MODEL),
+            "wv": P(None, AXIS_FSDP, AXIS_MODEL),
+            "wo": P(None, AXIS_MODEL, AXIS_FSDP),
+        },
+    }
+    lp = params["layers"]
+    if "mlp" in lp:
+        layers["mlp"] = {
+            "gate": P(None, AXIS_FSDP, AXIS_MODEL),
+            "up": P(None, AXIS_FSDP, AXIS_MODEL),
+            "down": P(None, AXIS_MODEL, AXIS_FSDP),
+        }
+    if "moe" in lp:
+        layers["moe"] = {
+            "router": P(None, None, None),
+            "gate": P(None, AXIS_EXPERT, AXIS_FSDP, AXIS_MODEL),
+            "up": P(None, AXIS_EXPERT, AXIS_FSDP, AXIS_MODEL),
+            "down": P(None, AXIS_EXPERT, AXIS_MODEL, AXIS_FSDP),
+        }
+    specs["layers"] = layers
+    if "lm_head" in params:
+        specs["lm_head"] = {"kernel": P(AXIS_FSDP, AXIS_MODEL)}
+    return specs
+
+
+def param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec),
+        param_partition_specs(params),
+        is_leaf=lambda x: isinstance(x, P),
+    )
+
+
+def shard_params(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:
+    """device_put the tree with its NamedShardings (host → mesh)."""
+    return jax.device_put(params, param_shardings(mesh, params))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Batch tensors [B, ...]: shard B over data+fsdp (both consume batch)."""
+    return NamedSharding(mesh, P(BATCH_AXES))
+
+
+def batch_spec() -> P:
+    return P(BATCH_AXES)
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

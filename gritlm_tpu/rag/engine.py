@@ -1,0 +1,253 @@
+"""RAG engine with doc/query KV-cache reuse — the GritLM north-star feature.
+
+Implements the reference's 6 RAG modes (rag/eval.py:19-34, 199-302):
+  no_retrieval         plain chat answer
+  prompt_query_doc     query-then-doc in the prompt (no cache)
+  prompt_doc_query     doc-then-query in the prompt (no cache)
+  query                reuse the query-encode KV cache, append doc text
+  doc                  reuse the doc-encode KV cache, append query text
+  querydoc / docquery  concatenate both caches (slot concat; the known
+                       independence approximation — each cache was encoded
+                       without seeing the other)
+
+Because embedding and generation share weights, the KV cache captured during
+bidirectional encode is directly consumable by the causal decoder: a cache is
+just pre-filled slots + a validity mask (models/transformer.KVCache), so the
+reference's per-layer torch.cat along the seq dim becomes
+generate.concat_caches. Timing protocol matches the reference: doc-encode
+time is excluded when the doc cache would be precomputed at index build.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+import time
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from gritlm_tpu.generate import concat_caches
+from gritlm_tpu.index.flat import FlatIndex
+from gritlm_tpu.training.templates import gritlm_instruction
+
+# Prompt/continuation formats — behavioral contract of the reference
+# (rag/eval.py:19-34). {title}/{text} come from the retrieved passage.
+NO_RETRIEVAL = "<|user|>\n{query}\n<|assistant|>\n"
+PROMPT_QUERY_DOC = (
+    "<|user|>\n{query}\n\n{title} {text}\n\n"
+    "Optionally using the prior context answer the query prior to it\n<|assistant|>\n"
+)
+PROMPT_DOC_QUERY = (
+    "<|user|>\n{title} {text}\n\n{query}\n\n"
+    "Answer the prior query while optionally using the context prior to it\n<|assistant|>\n"
+)
+CONT_AFTER_QUERY_CACHE = (
+    "\n<|user|>\n{title} {text}\n\n"
+    "Optionally using the prior context answer the query prior to it\n<|assistant|>\n"
+)
+CONT_AFTER_DOC_CACHE = (
+    "\n<|user|>\n{query}\n\n"
+    "Answer the prior query while optionally using the context prior to it\n<|assistant|>\n"
+)
+CONT_AFTER_DOC_QUERY_CACHES = (
+    "\n<|user|>\nAnswer the prior query while optionally using the context prior to it\n<|assistant|>\n"
+)
+CONT_AFTER_QUERY_DOC_CACHES = (
+    "\n<|user|>\nOptionally using the prior context answer the query prior to it\n<|assistant|>\n"
+)
+ANSWER_PROMPT = "The answer is"
+
+
+class CacheMode(str, enum.Enum):
+    NO_RETRIEVAL = "no_retrieval"
+    PROMPT_QUERY_DOC = "prompt_query_doc"
+    PROMPT_DOC_QUERY = "prompt_doc_query"
+    QUERY = "query"
+    DOC = "doc"
+    QUERYDOC = "querydoc"
+    DOCQUERY = "docquery"
+
+
+def _doc_fields(p: dict) -> dict:
+    return {"title": p.get("title", ""), "text": p.get("text", "")}
+
+
+@dataclasses.dataclass
+class RAGResult:
+    answer: str
+    passages: List[dict]
+    scores: List[float]
+    seconds: float
+
+
+class RAGEngine:
+    def __init__(
+        self,
+        model,  # gritlm_tpu.GritLM in unified mode
+        index: Optional[FlatIndex] = None,
+        max_new_tokens: int = 16,
+        encode_max_length: int = 2048,
+    ):
+        self.model = model
+        self.index = index
+        self.max_new_tokens = max_new_tokens
+        self.encode_max_length = encode_max_length
+        self._doc_cache: Dict[int, Any] = {}  # doc id → KVCache (host-side)
+
+    # ------------------------------------------------------------------ build
+
+    def build_index(
+        self,
+        passages: Sequence[dict],
+        batch_size: int = 32,
+        capacity: Optional[int] = None,
+        mesh=None,
+    ) -> FlatIndex:
+        """Encode the corpus into a FlatIndex (reference build_index,
+        rag/eval.py:124-150)."""
+        embs = self.model.encode_corpus(
+            list(passages),
+            batch_size=batch_size,
+            max_length=self.encode_max_length,
+            instruction=gritlm_instruction(""),
+        )
+        self.index = FlatIndex(embs.shape[1], capacity or len(passages), mesh=mesh)
+        self.index.add(embs, list(passages))
+        return self.index
+
+    def precompute_doc_cache(self, doc_id: int, mode: "CacheMode") -> None:
+        """Encode one passage with KV capture (production would do this for
+        the whole corpus at build time; reference stores it in doc_map,
+        rag/eval.py:137-148)."""
+        p = self.index.passages[doc_id]
+        doc_str = (p.get("title", "") + " " + p["text"]).strip()
+        if mode == CacheMode.QUERYDOC:
+            # doc cache sits *after* the query cache → no bos, leading newline
+            instruction = "\n" + gritlm_instruction("")
+            add_special = False
+        else:
+            instruction = gritlm_instruction("")
+            add_special = True
+        _, cache = self.model.encode(
+            [doc_str],
+            instruction=instruction,
+            add_special_tokens=add_special,
+            max_length=self.encode_max_length,
+            get_cache=True,
+        )
+        self._doc_cache[(doc_id, mode == CacheMode.QUERYDOC)] = cache
+
+    # ----------------------------------------------------------------- answer
+
+    def answer(
+        self,
+        query: str,
+        mode: CacheMode = CacheMode.PROMPT_QUERY_DOC,
+        gold_answers: Optional[List[str]] = None,
+        max_new_tokens: Optional[int] = None,
+    ) -> RAGResult:
+        """Answer one query under the given cache mode. Returns the answer,
+        retrieved passages and wall time (cache-precompute time excluded,
+        reference time_to_remove protocol rag/eval.py:199-235)."""
+        mode = CacheMode(mode)
+        mnt = max_new_tokens or self.max_new_tokens
+        t0 = time.perf_counter()
+        excluded = 0.0
+        kv_cache = None
+        passages: List[dict] = []
+        scores: List[float] = []
+
+        if mode == CacheMode.NO_RETRIEVAL:
+            prompt = NO_RETRIEVAL.format(query=query)
+            add_special = True
+        else:
+            needs_query_cache = mode in (
+                CacheMode.QUERY, CacheMode.QUERYDOC, CacheMode.DOCQUERY
+            )
+            if needs_query_cache:
+                q_emb, q_cache = self.model.encode_queries(
+                    [query],
+                    instruction=gritlm_instruction(""),
+                    get_cache=True,
+                    max_length=self.encode_max_length,
+                )
+            else:
+                q_emb = self.model.encode_queries(
+                    [query], instruction=gritlm_instruction(""),
+                    max_length=self.encode_max_length,
+                )
+                q_cache = None
+            sc, ids = self.index.search(np.atleast_2d(q_emb), k=1)
+            doc_id = int(ids[0, 0])
+            passages = [self.index.passages[doc_id]]
+            scores = [float(sc[0, 0])]
+
+            if mode in (CacheMode.DOC, CacheMode.QUERYDOC, CacheMode.DOCQUERY):
+                key = (doc_id, mode == CacheMode.QUERYDOC)
+                if key not in self._doc_cache:
+                    te = time.perf_counter()
+                    self.precompute_doc_cache(doc_id, mode)
+                    excluded += time.perf_counter() - te
+                d_cache = self._doc_cache[key]
+            else:
+                d_cache = None
+
+            f = _doc_fields(passages[0])
+            if mode == CacheMode.QUERY:
+                prompt, kv_cache = CONT_AFTER_QUERY_CACHE.format(**f), q_cache
+            elif mode == CacheMode.DOC:
+                prompt, kv_cache = CONT_AFTER_DOC_CACHE.format(query=query), d_cache
+            elif mode == CacheMode.DOCQUERY:
+                prompt = CONT_AFTER_DOC_QUERY_CACHES
+                kv_cache = concat_caches(d_cache, q_cache)
+            elif mode == CacheMode.QUERYDOC:
+                prompt = CONT_AFTER_QUERY_DOC_CACHES
+                kv_cache = concat_caches(q_cache, d_cache)
+            elif mode == CacheMode.PROMPT_QUERY_DOC:
+                prompt = PROMPT_QUERY_DOC.format(query=query, **f)
+            elif mode == CacheMode.PROMPT_DOC_QUERY:
+                prompt = PROMPT_DOC_QUERY.format(query=query, **f)
+            add_special = kv_cache is None  # bos already inside the cache
+
+        prompt += ANSWER_PROMPT
+        enc = self.model.tokenizer(
+            [prompt], max_length=4096, add_special_tokens=add_special
+        )
+        res = self.model.generate_from_ids(
+            enc["input_ids"], enc["attention_mask"],
+            cache=kv_cache, max_new_tokens=mnt,
+        )
+        toks = np.asarray(res.tokens)[0][: int(np.asarray(res.num_valid)[0])]
+        answer = self.model.tokenizer.decode(toks, skip_special_tokens=True)
+        dt = time.perf_counter() - t0 - excluded
+        return RAGResult(answer=answer, passages=passages, scores=scores, seconds=dt)
+
+    def evaluate(
+        self,
+        queries: List[str],
+        gold_answers: List[List[str]],
+        mode: CacheMode = CacheMode.PROMPT_QUERY_DOC,
+        max_new_tokens: Optional[int] = None,
+    ) -> Dict[str, Any]:
+        """QA eval loop: EM/match/F1 + latency stats JSON (schema of the
+        reference's *-latency.json, rag/eval.py:341-366)."""
+        from gritlm_tpu.rag.metrics import evaluate_answers
+
+        preds, times = [], []
+        for q in queries:
+            r = self.answer(q, mode=mode, max_new_tokens=max_new_tokens)
+            preds.append(r.answer)
+            times.append(r.seconds)
+        metrics = evaluate_answers(preds, gold_answers)
+        metrics.update(
+            {
+                "mode": str(mode.value),
+                "avg_seconds": float(np.mean(times)) if times else 0.0,
+                "std_seconds": float(np.std(times)) if times else 0.0,
+                "total_seconds": float(np.sum(times)),
+                "n": len(queries),
+                "predictions": preds,
+            }
+        )
+        return metrics

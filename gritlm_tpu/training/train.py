@@ -1,0 +1,296 @@
+"""GRIT joint training: unified contrastive + next-token loss with
+scan-based GradCache, GSPMD-sharded.
+
+Replaces the reference's GradCacheTrainer fork (864 LoC of HF Trainer
+surgery, gritlm/training/gradcache_trainer.py) and the vendored torch
+GradCache with ~1 jitted function:
+
+  - Full-batch path: loss = contrastive(q, p) + next_token(gen); one
+    value_and_grad. Cross-device negatives are implicit under GSPMD
+    (see losses.py).
+  - GradCache path (big contrastive batches): the three stages of the
+    vendored cachex JAX design (GradCache/src/grad_cache/cachex/) —
+    (1) chunked no-grad encode via lax.map, (2) loss grad wrt reps,
+    (3) chunked replay accumulating param grads of the surrogate
+    sum(encode(chunk) · rep_grad) — all inside one jit. No RNG replay
+    (RandContext) is needed: JAX PRNG keys make the replay exact for free
+    (SURVEY §5.2).
+
+Generative loss runs first, matching the reference ordering note
+(gradcache_trainer.py:549-551: emb contains the all-reduce).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from gritlm_tpu.config import ModelConfig
+from gritlm_tpu.models.transformer import forward, forward_lm, load_balancing_loss
+from gritlm_tpu.ops.pooling import mask_instruction, pool
+from gritlm_tpu.training.losses import contrastive_loss, next_token_loss
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    mode: str = "unified"  # unified | embedding | generative
+    pooling_method: str = "mean"
+    normalized: bool = True
+    attn: str = "bbcc"
+    temperature: float = 0.02
+    loss_gen_type: str = "mixed"
+    loss_gen_factor: float = 1.0
+    # GradCache: number of chunks the emb batch is split into (1 = off)
+    gc_chunks: int = 1
+    # stop-gradient variants (reference emb_q_only / emb_p_only flags)
+    q_grad: bool = True
+    p_grad: bool = True
+    # optimizer
+    learning_rate: float = 2e-5
+    weight_decay: float = 0.0
+    warmup_ratio: float = 0.03
+    total_steps: int = 1000
+    max_grad_norm: float = 1.0
+    remat: bool = True
+    router_aux_coef: Optional[float] = None  # None → cfg.router_aux_loss_coef
+
+    @property
+    def embed_causal(self) -> bool:
+        return self.attn[:2] != "bb"
+
+
+class TrainState(NamedTuple):
+    step: jax.Array
+    params: Any
+    opt_state: Any
+
+
+class StepMetrics(NamedTuple):
+    loss: jax.Array
+    loss_emb: jax.Array
+    loss_gen: jax.Array
+    grad_norm: jax.Array
+
+
+# ---------------------------------------------------------------------------
+# Encode / loss pieces
+
+
+def encode_reps(
+    params, cfg: ModelConfig, tc: TrainConfig, feat: Dict[str, jax.Array]
+) -> jax.Array:
+    """features → pooled (optionally normalized) reps [B, D]; instruction
+    tokens are attended but excluded from pooling (reference
+    gritlm/training/model.py:134-165)."""
+    hidden, _, _ = forward(
+        params, cfg, feat["input_ids"],
+        attention_mask=feat["attention_mask"],
+        causal=tc.embed_causal,
+        remat=tc.remat,
+    )
+    pmask = feat["attention_mask"]
+    if "instruction_lens" in feat:
+        pmask = mask_instruction(pmask, feat["instruction_lens"])
+    reps = pool(hidden, pmask, tc.pooling_method)
+    if tc.normalized:
+        reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12)
+    return reps
+
+
+def generative_loss(
+    params, cfg: ModelConfig, tc: TrainConfig, gen: Dict[str, jax.Array]
+) -> jax.Array:
+    logits, _, aux = forward_lm(
+        params, cfg, gen["input_ids"],
+        attention_mask=gen["attention_mask"], causal=True,
+        remat=tc.remat, output_router_logits=cfg.is_moe,
+    )
+    loss = next_token_loss(
+        logits, gen["labels"], tc.loss_gen_type, tc.loss_gen_factor
+    )
+    if cfg.is_moe:
+        coef = tc.router_aux_coef if tc.router_aux_coef is not None else cfg.router_aux_loss_coef
+        loss = loss + coef * load_balancing_loss(
+            aux["router_logits"], cfg, gen["attention_mask"]
+        )
+    return loss
+
+
+# ---------------------------------------------------------------------------
+# GradCache as scan (cachex design, reference …/grad_cache/cachex/)
+
+
+def _chunk(tree, n: int):
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((n, x.shape[0] // n) + x.shape[1:]), tree
+    )
+
+
+def _tree_add(a, b):
+    return jax.tree_util.tree_map(jnp.add, a, b)
+
+
+def _tree_zeros_like(t):
+    return jax.tree_util.tree_map(jnp.zeros_like, t)
+
+
+def gradcache_emb_grads(
+    params, cfg: ModelConfig, tc: TrainConfig,
+    query: Dict[str, jax.Array], passage: Dict[str, jax.Array],
+) -> Tuple[jax.Array, Any]:
+    """Returns (loss_emb, param grads of loss_emb) using chunked fwd/replay."""
+    n = tc.gc_chunks
+    q_chunks = _chunk(query, n)
+    p_chunks = _chunk(passage, n)
+
+    # stage 1: no-grad chunked encode
+    def enc_q(feat):
+        return encode_reps(params, cfg, tc, feat)
+
+    q_reps = jax.lax.map(enc_q, q_chunks)  # [n, b, D]
+    p_reps = jax.lax.map(enc_q, p_chunks)
+    q_reps = jax.lax.stop_gradient(q_reps.reshape((-1, q_reps.shape[-1])))
+    p_reps = jax.lax.stop_gradient(p_reps.reshape((-1, p_reps.shape[-1])))
+
+    # stage 2: loss + grads wrt reps only (cheap)
+    def rep_loss(qr, pr):
+        return contrastive_loss(qr, pr, tc.temperature)
+
+    loss_emb, (dq, dp) = jax.value_and_grad(rep_loss, argnums=(0, 1))(q_reps, p_reps)
+    if not tc.q_grad:
+        dq = jnp.zeros_like(dq)
+    if not tc.p_grad:
+        dp = jnp.zeros_like(dp)
+    dq_chunks = dq.reshape((n, -1) + dq.shape[1:])
+    dp_chunks = dp.reshape((n, -1) + dp.shape[1:])
+
+    # stage 3: replay each chunk, backprop the surrogate dot(reps, cached grad)
+    def replay(acc, chunk_and_grad):
+        feat, drep = chunk_and_grad
+
+        def surrogate(p):
+            reps = encode_reps(p, cfg, tc, feat)
+            return jnp.sum(reps * drep)
+
+        g = jax.grad(surrogate)(params)
+        return _tree_add(acc, g), None
+
+    zeros = _tree_zeros_like(params)
+    grads, _ = jax.lax.scan(replay, zeros, (q_chunks, dq_chunks))
+    grads, _ = jax.lax.scan(replay, grads, (p_chunks, dp_chunks))
+    return loss_emb, grads
+
+
+# ---------------------------------------------------------------------------
+# Train step
+
+
+def make_optimizer(tc: TrainConfig) -> optax.GradientTransformation:
+    warmup = max(int(tc.total_steps * tc.warmup_ratio), 1)
+    schedule = optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, tc.learning_rate, warmup),
+            optax.linear_schedule(tc.learning_rate, 0.0, max(tc.total_steps - warmup, 1)),
+        ],
+        [warmup],
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(tc.max_grad_norm),
+        optax.adamw(schedule, b1=0.9, b2=0.999, eps=1e-8,
+                    weight_decay=tc.weight_decay),
+    )
+
+
+def init_train_state(params, tc: TrainConfig) -> TrainState:
+    opt = make_optimizer(tc)
+    return TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, opt_state=opt.init(params)
+    )
+
+
+def train_step(
+    state: TrainState,
+    batch: Dict[str, Dict[str, jax.Array]],
+    cfg: ModelConfig,
+    tc: TrainConfig,
+) -> Tuple[TrainState, StepMetrics]:
+    """One step over a *global* batch dict with optional 'query'/'passage'/
+    'generative' sub-batches. Pure function of (state, batch) — pjit it with
+    sharded params + batch."""
+    opt = make_optimizer(tc)
+    has_emb = "query" in batch and tc.mode in ("unified", "embedding")
+    has_gen = "generative" in batch and tc.mode in ("unified", "generative")
+    use_gc = has_emb and tc.gc_chunks > 1
+
+    def full_loss(params):
+        loss_gen = jnp.zeros((), jnp.float32)
+        loss_emb = jnp.zeros((), jnp.float32)
+        if has_gen:  # gen first (reference ordering, gradcache_trainer.py:549)
+            loss_gen = generative_loss(params, cfg, tc, batch["generative"])
+        if has_emb and not use_gc:
+            q = encode_reps(params, cfg, tc, batch["query"])
+            p = encode_reps(params, cfg, tc, batch["passage"])
+            if not tc.q_grad:
+                q = jax.lax.stop_gradient(q)
+            if not tc.p_grad:
+                p = jax.lax.stop_gradient(p)
+            loss_emb = contrastive_loss(q, p, tc.temperature)
+        return loss_gen + loss_emb, (loss_emb, loss_gen)
+
+    (loss, (loss_emb, loss_gen)), grads = jax.value_and_grad(
+        full_loss, has_aux=True
+    )(state.params)
+
+    if use_gc:
+        loss_emb_gc, emb_grads = gradcache_emb_grads(
+            state.params, cfg, tc, batch["query"], batch["passage"]
+        )
+        grads = _tree_add(grads, emb_grads)
+        loss_emb = loss_emb_gc
+        loss = loss + loss_emb_gc
+
+    gnorm = optax.global_norm(grads)
+    updates, new_opt = opt.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    new_state = TrainState(state.step + 1, new_params, new_opt)
+    return new_state, StepMetrics(loss, loss_emb, loss_gen, gnorm)
+
+
+def make_sharded_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):
+    """jit train_step over the mesh: params/opt sharded per rules, batch on
+    (data, fsdp). Returns (step_fn, shard_state_fn)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gritlm_tpu.parallel.sharding import param_partition_specs
+
+    opt = make_optimizer(tc)
+
+    def shard_state(state: TrainState) -> TrainState:
+        pspecs = param_partition_specs(state.params)
+        pshard = jax.tree_util.tree_map(
+            lambda s: NamedSharding(mesh, s), pspecs,
+            is_leaf=lambda x: isinstance(x, P),
+        )
+        params = jax.device_put(state.params, pshard)
+        # re-init optimizer state under jit so mu/nu inherit the param
+        # shardings via XLA propagation (ZeRO: optimizer state sharded too)
+        opt_state = jax.jit(opt.init)(params)
+        return TrainState(jax.device_put(state.step, NamedSharding(mesh, P())),
+                          params, opt_state)
+
+    batch_ns = NamedSharding(mesh, P(("data", "fsdp")))
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "tc"), donate_argnums=(0,))
+    def step_fn(state, batch, cfg, tc):
+        return train_step(state, batch, cfg, tc)
+
+    def run(state, batch):
+        batch = jax.device_put(batch, jax.tree_util.tree_map(lambda _: batch_ns, batch))
+        return step_fn(state, batch, cfg, tc)
+
+    return run, shard_state

@@ -1,17 +1,19 @@
 """Test env: force CPU with 8 virtual devices so multi-chip sharding paths
 (mesh, pjit, collectives) are exercised without TPU hardware — the TPU
 analogue of the reference's 'multi-node without a cluster' smoke strategy
-(SURVEY §4). Must run before jax is imported anywhere."""
+(SURVEY §4).
 
-import os
+This image pre-imports jax from sitecustomize (axon TPU tunnel) before
+pytest starts, so env vars are too late — but backends initialize lazily,
+so jax.config updates here still take effect."""
 
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+import jax
 
-import jax  # noqa: E402
-
+try:
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_num_cpu_devices", 8)
+except Exception:
+    pass  # backend already initialized (e.g. conftest re-entry) — keep going
 jax.config.update("jax_default_matmul_precision", "highest")
 
 import pytest  # noqa: E402

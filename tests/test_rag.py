@@ -1,0 +1,76 @@
+import numpy as np
+import pytest
+
+from gritlm_tpu.config import tiny_mistral
+from gritlm_tpu.gritlm import GritLM
+from gritlm_tpu.rag import CacheMode, RAGEngine
+from gritlm_tpu.rag.metrics import (
+    evaluate_answers,
+    exact_match_score,
+    f1_score,
+    match_score,
+    normalize_answer,
+)
+
+
+def test_normalize():
+    assert normalize_answer("The  Quick, Brown Fox!") == "quick brown fox"
+    assert normalize_answer("A cat") == "cat"
+
+
+def test_em_match_f1():
+    assert exact_match_score("Paris", ["paris", "London"]) == 1.0
+    assert exact_match_score("in Paris", ["Paris"]) == 0.0
+    assert match_score("the answer is Paris.", ["Paris"]) == 1.0
+    assert f1_score("Paris France", ["Paris"]) == pytest.approx(2 / 3)
+    m = evaluate_answers(["Paris", "dog"], [["Paris"], ["cat"]])
+    assert m["exact_match"] == 50.0 and m["f1"] == 50.0
+
+
+@pytest.fixture(scope="module")
+def engine():
+    model = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0)
+    eng = RAGEngine(model, max_new_tokens=4, encode_max_length=64)
+    passages = [
+        {"title": "geo", "text": f"fact number {i} about place {i}"} for i in range(8)
+    ]
+    eng.build_index(passages, batch_size=4)
+    return eng
+
+
+@pytest.mark.parametrize(
+    "mode",
+    [
+        CacheMode.NO_RETRIEVAL,
+        CacheMode.PROMPT_QUERY_DOC,
+        CacheMode.PROMPT_DOC_QUERY,
+        CacheMode.QUERY,
+        CacheMode.DOC,
+        CacheMode.QUERYDOC,
+        CacheMode.DOCQUERY,
+    ],
+)
+def test_all_rag_modes_run(engine, mode):
+    r = engine.answer("what is fact number 3?", mode=mode)
+    assert isinstance(r.answer, str)
+    assert r.seconds > 0
+    if mode != CacheMode.NO_RETRIEVAL:
+        assert len(r.passages) == 1
+
+
+def test_doc_cache_reused(engine):
+    engine._doc_cache.clear()
+    engine.answer("what is fact number 2?", mode=CacheMode.DOC)
+    n_after_first = len(engine._doc_cache)
+    engine.answer("what is fact number 2?", mode=CacheMode.DOC)
+    assert len(engine._doc_cache) == n_after_first  # cache hit, no re-encode
+
+
+def test_evaluate_schema(engine):
+    m = engine.evaluate(
+        ["q one", "q two"], [["gold"], ["gold"]], mode=CacheMode.NO_RETRIEVAL
+    )
+    for key in ("exact_match", "match", "f1", "avg_seconds", "std_seconds",
+                "total_seconds", "n", "predictions"):
+        assert key in m
+    assert m["n"] == 2
