@@ -1,0 +1,81 @@
+"""Flash attention kernel vs the jnp reference oracle (Pallas interpret
+mode on CPU; the same kernel compiles on TPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gritlm_tpu.ops.attention import make_attention_bias, mha_reference
+from gritlm_tpu.ops.flash_attention import flash_attention
+
+
+def _inputs(B=2, Sq=256, Sk=256, H=4, Hkv=2, Dh=128, seed=0, pad_row=True):
+    rng = np.random.default_rng(seed)
+    q = jnp.asarray(rng.normal(size=(B, Sq, H, Dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(B, Sk, Hkv, Dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(B, Sk, Hkv, Dh)), jnp.float32)
+    mask = np.ones((B, Sk), np.int32)
+    if pad_row:
+        mask[-1, Sk - 37 :] = 0
+    return q, k, v, jnp.asarray(mask)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("sw", [None, 64])
+def test_matches_reference(causal, sw):
+    q, k, v, mask = _inputs()
+    out = flash_attention(q, k, v, mask, causal=causal, sliding_window=sw)
+    bias = make_attention_bias(mask, q.shape[1], k.shape[1], causal=causal,
+                               sliding_window=sw)
+    ref = mha_reference(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_rectangular_and_padded_shapes():
+    # Sq != Sk and both get padded up to block multiples internally
+    q, k, v, mask = _inputs(Sq=200, Sk=333)
+    out = flash_attention(q, k, v, mask, causal=False)
+    bias = make_attention_bias(mask, 200, 333, causal=False)
+    ref = mha_reference(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_offset_matches_reference():
+    """Prefill on top of a cache: q row 0 sits at absolute slot `offset`."""
+    offset = 128
+    q, k, v, mask = _inputs(Sq=128, Sk=384, pad_row=False)
+    # emulate: first `offset` slots are cache, rest is the new chunk
+    out = flash_attention(q, k, v, mask, causal=True, offset=offset)
+    bias = make_attention_bias(mask, 128, 384, causal=True, offset=offset)
+    ref = mha_reference(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fully_masked_rows_are_zero():
+    q, k, v, _ = _inputs(pad_row=False)
+    mask = jnp.zeros((q.shape[0], k.shape[1]), jnp.int32)
+    out = flash_attention(q, k, v, mask, causal=False)
+    np.testing.assert_allclose(np.asarray(out), 0.0)
+
+
+def test_grad_flows():
+    q, k, v, mask = _inputs(Sq=128, Sk=128)
+
+    def loss(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, causal=True) ** 2)
+
+    def ref_loss(q, k, v):
+        bias = make_attention_bias(mask, 128, 128, causal=True)
+        return jnp.sum(mha_reference(q, k, v, bias) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    gr = jax.grad(ref_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+def test_short_query_raises():
+    q, k, v, mask = _inputs(Sq=8)
+    with pytest.raises(NotImplementedError):
+        flash_attention(q, k, v, mask, causal=True)
