@@ -1,0 +1,98 @@
+"""Orbax checkpointing: sharded TrainState save / restore / rotate / resume.
+
+Replaces the reference's staged-rename atomic checkpointing + FSDP
+FULL_STATE_DICT dance + conversion scripts (gradcache_trainer.py:102-172,
+scripts/convert_sharded.py; SURVEY §5.4): Orbax writes sharded arrays
+atomically and restores them onto any mesh, so no reformat/convert step
+exists. Final model export to HF safetensors goes through
+models/loader.save_checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from gritlm_tpu.training.train import TrainState
+
+_STEP_RE = re.compile(r"^step_(\d+)$")
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, save_total_limit: int = 2):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.save_total_limit = save_total_limit
+        self._ckpt = ocp.StandardCheckpointer()
+
+    # ------------------------------------------------------------------ paths
+
+    def _path(self, step: int) -> str:
+        return os.path.join(self.directory, f"step_{step}")
+
+    def all_steps(self):
+        steps = []
+        if os.path.isdir(self.directory):
+            for d in os.listdir(self.directory):
+                m = _STEP_RE.match(d)
+                if m:
+                    steps.append(int(m.group(1)))
+        return sorted(steps)
+
+    def latest_step(self) -> Optional[int]:
+        steps = self.all_steps()
+        return steps[-1] if steps else None
+
+    # ------------------------------------------------------------------- save
+
+    def save(self, state: TrainState, extra: Optional[dict] = None) -> str:
+        step = int(jax.device_get(state.step))
+        path = self._path(step)
+        self._ckpt.save(
+            os.path.join(path, "state"), dict(state=state), force=True
+        )
+        self._ckpt.wait_until_finished()
+        if extra:
+            import json
+
+            with open(os.path.join(path, "extra.json"), "w") as f:
+                json.dump(extra, f)
+        self._rotate()
+        return path
+
+    def _rotate(self) -> None:
+        steps = self.all_steps()
+        while len(steps) > self.save_total_limit:
+            victim = steps.pop(0)
+            import shutil
+
+            shutil.rmtree(self._path(victim), ignore_errors=True)
+
+    # ---------------------------------------------------------------- restore
+
+    def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
+        """Restore into the template's shardings/dtypes (template = freshly
+        built, sharded TrainState)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            raise FileNotFoundError(f"No checkpoints under {self.directory}")
+        # abstract template (shape/dtype/sharding) so orbax restores each
+        # array directly onto its mesh shards
+        abstract = jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+            if hasattr(x, "sharding") else x,
+            template,
+        )
+        restored = self._ckpt.restore(
+            os.path.join(self._path(step), "state"),
+            target={"state": abstract},
+        )
+        state = restored["state"]
+        if not isinstance(state, TrainState):
+            state = TrainState(*state)
+        return state

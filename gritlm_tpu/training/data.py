@@ -60,6 +60,35 @@ def load_train_dirs(train_data: Sequence[str]) -> Tuple[List[List[dict]], List[L
     return emb_sets, gen_sets
 
 
+def filter_too_long_instructions(
+    tokenizer, emb_sets: List[List[dict]], query_max_len: int, passage_max_len: int
+) -> List[List[dict]]:
+    """Drop embedding samples whose instruction prefix alone fills the query/
+    passage window or whose text is empty (reference
+    filter_too_long_instructions, run.py:38-52)."""
+
+    def prefix_len(sample) -> int:
+        _, prefix = T.format_embed(sample)
+        return tokenizer.tokenize_len(prefix, add_special_tokens=False)
+
+    def ok(row) -> bool:
+        q = row["query"]
+        if isinstance(q, (list, tuple)):
+            if not q[1]:
+                return False
+            if prefix_len(q) >= query_max_len:
+                return False
+        for p in list(row["pos"]) + list(row["neg"]):
+            if isinstance(p, (list, tuple)):
+                if not p[1]:
+                    return False
+                if prefix_len(p) >= passage_max_len:
+                    return False
+        return True
+
+    return [[r for r in s if ok(r)] for s in emb_sets]
+
+
 # ---------------------------------------------------------------------------
 # Dataset
 

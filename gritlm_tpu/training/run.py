@@ -1,0 +1,171 @@
+"""GRIT training entry point: `python -m gritlm_tpu.training.run --args...`
+
+The TPU counterpart of the reference's `python -m training.run`
+(gritlm/training/run.py:54-434): loads JSONL data, builds the unified
+dataset/collator/sampler, shards model + optimizer over the mesh, runs the
+jitted train step (GradCache inside), logs loss_emb/loss_gen, checkpoints
+with Orbax and exports the final model as an HF-safetensors checkpoint.
+
+Example (toy smoke, CPU 8 devices):
+  PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \\
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
+  python -m gritlm_tpu.training.run --train_data tests/toy \\
+      --mode unified --per_device_train_batch_size 2 --max_steps 8 \\
+      --mesh_data 2 --mesh_fsdp 2 --mesh_model 2 --output_dir /tmp/run
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+logger = logging.getLogger("gritlm_tpu.train")
+
+
+def main(argv=None) -> dict:
+    from gritlm_tpu import config as cfgmod
+    from gritlm_tpu.models import init_params
+    from gritlm_tpu.models.loader import load_checkpoint, save_checkpoint
+    from gritlm_tpu.parallel import MeshConfig, make_mesh
+    from gritlm_tpu.tokenizer import load_tokenizer
+    from gritlm_tpu.training.arguments import parse_args
+    from gritlm_tpu.training.checkpoint import CheckpointManager
+    from gritlm_tpu.training.data import (
+        GritCollator,
+        GritDataset,
+        batch_iterator,
+        load_train_dirs,
+    )
+    from gritlm_tpu.training.metrics_logger import MetricsLogger
+    from gritlm_tpu.training.train import (
+        init_train_state,
+        make_sharded_train_step,
+    )
+
+    logging.basicConfig(level=logging.INFO)
+    args = parse_args(argv)
+    os.makedirs(args.output_dir, exist_ok=True)
+    with open(os.path.join(args.output_dir, "run_args.json"), "w") as f:
+        json.dump(args.__dict__, f, indent=2, default=str)
+
+    # ---- model
+    if args.model_name_or_path:
+        cfg, params = load_checkpoint(
+            args.model_name_or_path, with_lm_head=(args.mode != "embedding"),
+            dtype=args.dtype,
+        )
+        tokenizer = load_tokenizer(args.model_name_or_path)
+    else:
+        cfg = getattr(cfgmod, args.model_preset)()
+        if args.dtype:
+            import dataclasses as dc
+
+            cfg = dc.replace(cfg, dtype=args.dtype)
+        params = init_params(cfg, jax.random.PRNGKey(args.seed),
+                             with_lm_head=(args.mode != "embedding"))
+        tokenizer = load_tokenizer(None)
+    logger.info("model: %s (%s), moe=%s", args.model_preset or
+                args.model_name_or_path, cfg.dtype, cfg.is_moe)
+
+    # ---- data
+    from gritlm_tpu.training.data import filter_too_long_instructions
+
+    emb_sets, gen_sets = load_train_dirs(args.train_data)
+    emb_sets = filter_too_long_instructions(
+        tokenizer, emb_sets, args.query_max_len, args.passage_max_len
+    )
+    emb_sets = [s for s in emb_sets if s]
+    n_emb = sum(len(s) for s in emb_sets)
+    n_gen = sum(len(s) for s in gen_sets)
+    logger.info("data: %d embedding samples (%d files), %d generative (%d files)",
+                n_emb, len(emb_sets), n_gen, len(gen_sets))
+    with open(os.path.join(args.output_dir, "dataset_num_samples.json"), "w") as f:
+        json.dump({"embedding": n_emb, "generative": n_gen}, f)
+    dataset = GritDataset(
+        emb_sets, gen_sets, mode=args.mode,
+        train_group_size=args.train_group_size,
+        max_char_len=max(args.passage_max_len, args.generative_max_len) * 10,
+        seed=args.seed, use_unique_indices=args.use_unique_indices,
+    )
+
+    # ---- mesh & global batch
+    mesh = make_mesh(MeshConfig(
+        data=args.mesh_data, fsdp=args.mesh_fsdp,
+        model=args.mesh_model, expert=args.mesh_expert,
+    ))
+    dp_ways = mesh.shape["data"] * mesh.shape["fsdp"]
+    global_bs = args.per_device_train_batch_size * dp_ways
+    take_nth = 1
+    if args.per_device_generative_bs:
+        assert args.per_device_train_batch_size % args.per_device_generative_bs == 0
+        take_nth = args.per_device_train_batch_size // args.per_device_generative_bs
+    collator = GritCollator(
+        tokenizer,
+        query_max_len=args.query_max_len,
+        passage_max_len=args.passage_max_len,
+        generative_max_len=args.generative_max_len,
+        prefixlm=args.prefixlm,
+        take_nth=take_nth,
+    )
+
+    steps_per_epoch = max(len(dataset) // global_bs, 1)
+    total_steps = args.max_steps or steps_per_epoch * args.num_train_epochs
+    tc = args.to_train_config(total_steps)
+    logger.info("mesh=%s global_bs=%d steps=%d gradcache_chunks=%d",
+                dict(mesh.shape), global_bs, total_steps, tc.gc_chunks)
+
+    # ---- state (+ resume)
+    run_step, shard_state = make_sharded_train_step(mesh, cfg, tc)
+    state = shard_state(init_train_state(params, tc))
+    del params
+    ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
+                             args.save_total_limit)
+    start_step = 0
+    if args.resume_from_checkpoint:
+        step = None if args.resume_from_checkpoint == "auto" else None
+        if ckpt.latest_step() is not None:
+            state = ckpt.restore(state)
+            start_step = int(jax.device_get(state.step))
+            logger.info("resumed from step %d", start_step)
+
+    mlog = MetricsLogger(args.output_dir, args.logging_steps)
+    step = start_step
+    done = False
+    last = {}
+    for epoch in range(args.num_train_epochs * 50):  # re-iterate if max_steps larger
+        if done:
+            break
+        for batch in batch_iterator(dataset, collator, global_bs,
+                                    seed=args.seed, epoch=epoch):
+            if step >= total_steps:
+                done = True
+                break
+            state, m = run_step(state, batch)
+            step += 1
+            last = {
+                "loss": float(m.loss), "loss_emb": float(m.loss_emb),
+                "loss_gen": float(m.loss_gen), "grad_norm": float(m.grad_norm),
+            }
+            mlog.log(step, last)
+            if args.save_steps and step % args.save_steps == 0:
+                ckpt.save(state, extra={"epoch": epoch})
+        if args.max_steps is None and epoch + 1 >= args.num_train_epochs:
+            done = True
+
+    # ---- final save: orbax + HF export
+    ckpt.save(state)
+    export_dir = os.path.join(args.output_dir, "export")
+    host_params = jax.device_get(state.params)
+    save_checkpoint(export_dir, cfg, host_params)
+    logger.info("final checkpoint step %d → %s", step, export_dir)
+    mlog.close()
+    return {"steps": step, "final": last, "export": export_dir}
+
+
+if __name__ == "__main__":
+    main()

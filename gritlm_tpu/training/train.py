@@ -270,6 +270,28 @@ def make_sharded_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):
 
     opt = make_optimizer(tc)
 
+    def _opt_state_shardings(params, pspecs):
+        """Sharding tree for opt.init output: mu/nu sub-trees mirror the param
+        partition specs (ZeRO: optimizer state sharded like params), every
+        other leaf (step counters) replicated."""
+        shapes = jax.eval_shape(opt.init, jax.eval_shape(lambda: params))
+
+        def lookup(path):
+            for i, k in enumerate(path):
+                if getattr(k, "name", None) in ("mu", "nu"):
+                    node = pspecs
+                    try:
+                        for kk in path[i + 1 :]:
+                            node = node[kk.key]
+                    except (KeyError, TypeError, AttributeError):
+                        return P()
+                    return node if isinstance(node, P) else P()
+            return P()
+
+        flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+        shardings = [NamedSharding(mesh, lookup(path)) for path, _ in flat]
+        return jax.tree_util.tree_unflatten(treedef, shardings)
+
     def shard_state(state: TrainState) -> TrainState:
         pspecs = param_partition_specs(state.params)
         pshard = jax.tree_util.tree_map(
@@ -277,9 +299,8 @@ def make_sharded_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):
             is_leaf=lambda x: isinstance(x, P),
         )
         params = jax.device_put(state.params, pshard)
-        # re-init optimizer state under jit so mu/nu inherit the param
-        # shardings via XLA propagation (ZeRO: optimizer state sharded too)
-        opt_state = jax.jit(opt.init)(params)
+        opt_shardings = _opt_state_shardings(params, pspecs)
+        opt_state = jax.jit(opt.init, out_shardings=opt_shardings)(params)
         return TrainState(jax.device_put(state.step, NamedSharding(mesh, P())),
                           params, opt_state)
 

@@ -1,0 +1,66 @@
+"""End-to-end training CLI: toy JSONL → sharded train → checkpoint →
+resume → HF export (the analogue of the reference's train_test.sh smoke,
+SURVEY §4.1)."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+TOY = os.path.join(os.path.dirname(__file__), "toy_data")
+
+
+def _args(outdir, max_steps, resume=False):
+    a = [
+        "--train_data", TOY, "--mode", "unified",
+        "--per_device_train_batch_size", "2", "--max_steps", str(max_steps),
+        "--query_max_len", "128", "--passage_max_len", "128",
+        "--generative_max_len", "64",
+        "--mesh_data", "2", "--mesh_fsdp", "2", "--mesh_model", "2",
+        "--gc_chunks", "2", "--save_steps", "3", "--logging_steps", "2",
+        "--learning_rate", "1e-3", "--output_dir", outdir,
+    ]
+    if resume:
+        a += ["--resume_from_checkpoint", "auto"]
+    return a
+
+
+@pytest.mark.slow
+def test_train_cli_checkpoint_resume_export(tmp_path):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from gritlm_tpu.training.run import main
+
+    out = str(tmp_path / "run")
+    r1 = main(_args(out, 4))
+    assert r1["steps"] == 4
+    assert np.isfinite(r1["final"]["loss"])
+    assert os.path.exists(os.path.join(out, "metrics.jsonl"))
+    assert os.path.exists(os.path.join(out, "checkpoints", "step_3"))
+
+    r2 = main(_args(out, 6, resume=True))
+    assert r2["steps"] == 6  # continued from 4, not restarted
+
+    # exported checkpoint round-trips into the inference API
+    from gritlm_tpu import GritLM
+
+    m = GritLM.from_pretrained(os.path.join(out, "export"), mode="unified")
+    e = m.encode("roundtrip")
+    assert e.shape == (m.config.hidden_size,)
+
+
+def test_parse_args_types():
+    from gritlm_tpu.training.arguments import parse_args
+
+    a = parse_args([
+        "--train_data", "x,y", "--learning_rate", "3e-4", "--gc_chunks", "4",
+        "--prefixlm", "--max_steps", "17", "--resume_from_checkpoint", "auto",
+    ])
+    assert a.train_data == ["x", "y"]
+    assert a.learning_rate == 3e-4 and a.gc_chunks == 4
+    assert a.prefixlm is True
+    assert a.max_steps == 17
+    assert a.resume_from_checkpoint == "auto"
+    with pytest.raises(ValueError):
+        parse_args(["--nope", "1"])
