@@ -1,0 +1,159 @@
+"""MTEB harness adapter.
+
+Drives the stock `mteb` package (when installed and datasets are reachable)
+with the TPU GritLM encoder — the counterpart of evaluation/eval_mteb.py.
+The giant per-model instruction dictionaries of the reference
+(eval_mteb.py:10-839) are *data*: supply any of them as a JSON file via
+`instruction_file`; a compact built-in set covers the QUICK_EVAL smoke
+subset. Instruction formats gritlm/zephyr/tulu/mistral match
+eval_mteb.py:1050-1067.
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import os
+from typing import Dict, Optional, Sequence
+
+# 12-task quick smoke subset spanning all 7 MTEB task types
+# (reference QUICK_EVAL, evaluation/eval_mteb.py:1018-1038)
+QUICK_EVAL = [
+    # classification
+    "Banking77Classification",
+    "EmotionClassification",
+    # clustering
+    "MedrxivClusteringS2S",
+    # pair classification
+    "TwitterSemEval2015",
+    # reranking
+    "AskUbuntuDupQuestions",
+    # retrieval
+    "ArguAna",
+    "NFCorpus",
+    "SciFact",
+    # sts
+    "BIOSSES",
+    "STS17",
+    "STSBenchmark",
+    # summarization
+    "SummEval",
+]
+
+# Compact instruction set for the smoke subset (task → instruction, or
+# {"query": ..., "corpus": ...} for asymmetric retrieval tasks).
+DEFAULT_INSTRUCTIONS: Dict[str, object] = {
+    "Banking77Classification": "Given a online banking query, find the corresponding intents",
+    "EmotionClassification": "Classify the emotion expressed in the given Twitter message into one of the six emotions: anger, fear, joy, love, sadness, and surprise",
+    "MedrxivClusteringS2S": "Identify the main category of Medrxiv papers based on the titles",
+    "TwitterSemEval2015": "Retrieve tweets that are semantically similar to the given tweet",
+    "AskUbuntuDupQuestions": "Retrieve duplicate questions from AskUbuntu forum",
+    "ArguAna": {"query": "Given a claim, find documents that refute the claim", "corpus": ""},
+    "NFCorpus": {"query": "Given a question, retrieve relevant documents that best answer the question", "corpus": ""},
+    "SciFact": {"query": "Given a scientific claim, retrieve documents that support or refute the claim", "corpus": ""},
+    "BIOSSES": "Retrieve semantically similar text.",
+    "STS17": "Retrieve semantically similar text.",
+    "STSBenchmark": "Retrieve semantically similar text.",
+    "SummEval": "Given a news summary, retrieve other semantically similar summaries",
+}
+
+
+def format_instruction(instruction: str, fmt: str = "gritlm") -> str:
+    """Wrap a raw instruction in the model's chat/embed format (reference
+    eval_mteb.py:1050-1067)."""
+    if not instruction:
+        if fmt == "gritlm":
+            return "<|embed|>\n"
+        return ""
+    if fmt == "gritlm":
+        return f"<|user|>\n{instruction}\n<|embed|>\n"
+    if fmt == "zephyr":
+        return f"<|user|>\n{instruction}</s>\n<|assistant|>\n"
+    if fmt == "tulu":
+        return f"<|user|>\n{instruction}\n<|assistant|>\n"
+    if fmt == "mistral":
+        return f"[INST] {instruction} [/INST] "
+    raise ValueError(f"Unknown instruction format: {fmt}")
+
+
+class MTEBEncoder:
+    """The object handed to MTEB: encode / encode_queries / encode_corpus with
+    a per-task instruction bound (reference binds via functools.partial,
+    eval_mteb.py:1195-1199)."""
+
+    def __init__(self, model, task_instruction, fmt: str = "gritlm",
+                 batch_size: int = 32, max_length: int = 512):
+        self.model = model
+        self.batch_size = batch_size
+        self.max_length = max_length
+        if isinstance(task_instruction, dict):
+            qi = task_instruction.get("query", "")
+            ci = task_instruction.get("corpus", "")
+        else:
+            qi = ci = task_instruction or ""
+        self.q_instruction = format_instruction(qi, fmt)
+        self.c_instruction = format_instruction(ci, fmt)
+
+    def encode(self, sentences, **kw):
+        return self.model.encode(
+            list(sentences), instruction=self.q_instruction,
+            batch_size=self.batch_size, max_length=self.max_length,
+        )
+
+    def encode_queries(self, queries, **kw):
+        return self.model.encode_queries(
+            list(queries), instruction=self.q_instruction,
+            batch_size=self.batch_size, max_length=self.max_length,
+        )
+
+    def encode_corpus(self, corpus, **kw):
+        return self.model.encode_corpus(
+            list(corpus), instruction=self.c_instruction,
+            batch_size=self.batch_size, max_length=self.max_length,
+        )
+
+
+def load_instructions(instruction_file: Optional[str]) -> Dict[str, object]:
+    table = dict(DEFAULT_INSTRUCTIONS)
+    if instruction_file:
+        with open(instruction_file) as f:
+            table.update(json.load(f))
+    return table
+
+
+def run_mteb(
+    model,
+    tasks: Sequence[str] = tuple(QUICK_EVAL),
+    output_dir: str = "results",
+    fmt: str = "gritlm",
+    instruction_file: Optional[str] = None,
+    batch_size: int = 32,
+    max_length: int = 512,
+    skip_existing: bool = True,
+) -> Dict[str, object]:
+    """Run MTEB tasks (requires the `mteb` package + dataset access).
+    Per-task skip-if-exists mirrors eval_mteb.py:1107-1112."""
+    try:
+        import mteb
+    except ImportError as e:
+        raise ImportError(
+            "the `mteb` package is not installed in this environment; "
+            "use gritlm_tpu.eval.retrieval.evaluate_retrieval for offline eval"
+        ) from e
+
+    instructions = load_instructions(instruction_file)
+    results = {}
+    for task_name in tasks:
+        out_path = os.path.join(output_dir, f"{task_name}.json")
+        if skip_existing and os.path.exists(out_path):
+            continue
+        encoder = MTEBEncoder(
+            model, instructions.get(task_name, ""), fmt=fmt,
+            batch_size=batch_size, max_length=max_length,
+        )
+        evaluation = mteb.MTEB(tasks=[task_name])
+        res = evaluation.run(
+            encoder, output_folder=output_dir, eval_splits=["test"]
+        )
+        results[task_name] = res
+    return results
