@@ -41,19 +41,20 @@ def _fwd_kernel(
     q_ref,  # [1, bq, dh]
     k_ref,  # [1, bk, dh]
     v_ref,  # [1, bk, dh]
-    # outputs
-    o_ref,  # [1, bq, dh]
-    # scratch
-    m_scr,  # [bq, LANES] f32 running max (broadcast over lanes)
-    l_scr,  # [bq, LANES] f32 running denom
-    acc_scr,  # [bq, dh] f32 running numerator
-    *,
+    # outputs: o_ref [1, bq, dh]; lse_ref [1, bq, 8] iff with_lse; then
+    # scratch: m_scr/l_scr [bq, LANES] f32, acc_scr [bq, dh] f32
+    *refs,
     causal: bool,
     sliding_window: Optional[int],
     scale: float,
     bq: int,
     bk: int,
+    with_lse: bool,
 ):
+    if with_lse:
+        o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
+    else:
+        (o_ref, m_scr, l_scr, acc_scr), lse_ref = refs, None
     iq = pl.program_id(1)
     ik = pl.program_id(2)
     nk = pl.num_programs(2)
@@ -131,15 +132,41 @@ def _fwd_kernel(
         l = l_scr[:, :1]
         safe_l = jnp.where(l > 0, l, 1.0)
         o_ref[0] = (acc_scr[:] / safe_l).astype(o_ref.dtype)
+        if lse_ref is not None:
+            m = m_scr[:, :1]
+            lse = jnp.where(l > 0, m + jnp.log(safe_l), NEG_INF)  # [bq, 1]
+            lse_ref[0] = jnp.broadcast_to(lse, (lse.shape[0], 8))
 
 
 def _pad_len(n: int, b: int) -> int:
     return (n + b - 1) // b * b
 
 
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _geom(q3, k3, num_q_heads):
+    BH, Sq, Dh = q3.shape
+    BKV, Sk, _ = k3.shape
+    H = num_q_heads
+    B = BH // H
+    Hkv = BKV // B
+    return BH, Sq, Dh, Sk, H, B, Hkv, H // Hkv
+
+
+def _q_index(bh, iq, ik, *_):
+    return (bh, iq, 0)
+
+
+def _row_index(bh, iq, ik, *_):  # lse/delta [BH, Sq, 8]
+    return (bh, iq, 0)
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "sliding_window", "bq", "bk", "num_q_heads"),
+    static_argnames=("causal", "sliding_window", "bq", "bk", "num_q_heads",
+                     "with_lse"),
 )
 def _flash_fwd(
     q3: jax.Array,  # [B*H, Sq, Dh]
@@ -153,40 +180,34 @@ def _flash_fwd(
     num_q_heads: int,
     bq: int,
     bk: int,
+    with_lse: bool = False,
 ):
-    BH, Sq, Dh = q3.shape
-    BKV, Sk, _ = k3.shape
-    H = num_q_heads
-    B = BH // H
-    Hkv = BKV // B
-    group = H // Hkv
+    BH, Sq, Dh, Sk, H, B, Hkv, group = _geom(q3, k3, num_q_heads)
     scale = Dh ** -0.5
-    nq = Sq // bq
-    nk = Sk // bk
-
-    grid = (BH, nq, nk)
-
-    def q_index(bh, iq, ik, *_):
-        return (bh, iq, 0)
+    nq, nk = Sq // bq, Sk // bk
 
     def kv_index(bh, iq, ik, *_):
-        b = bh // H
-        h = bh % H
-        return (b * Hkv + h // group, ik, 0)
+        return ((bh // H) * Hkv + (bh % H) // group, ik, 0)
 
     def mask_index(bh, iq, ik, *_):
         return (bh // H, 0, ik)
 
+    out_shapes = [jax.ShapeDtypeStruct((BH, Sq, Dh), q3.dtype)]
+    out_specs = [pl.BlockSpec((1, bq, Dh), _q_index)]
+    if with_lse:
+        out_shapes.append(jax.ShapeDtypeStruct((BH, Sq, 8), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, bq, 8), _row_index))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=grid,
+        grid=(BH, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, bk), mask_index),
-            pl.BlockSpec((1, bq, Dh), q_index),
+            pl.BlockSpec((1, bq, Dh), _q_index),
             pl.BlockSpec((1, bk, Dh), kv_index),
             pl.BlockSpec((1, bk, Dh), kv_index),
         ],
-        out_specs=pl.BlockSpec((1, bq, Dh), q_index),
+        out_specs=out_specs,
         scratch_shapes=[
             pltpu.VMEM((bq, LANES), jnp.float32),
             pltpu.VMEM((bq, LANES), jnp.float32),
@@ -194,89 +215,323 @@ def _flash_fwd(
         ],
     )
     kernel = functools.partial(
-        _fwd_kernel,
-        causal=causal,
-        sliding_window=sliding_window,
-        scale=scale,
-        bq=bq,
-        bk=bk,
+        _fwd_kernel, causal=causal, sliding_window=sliding_window,
+        scale=scale, bq=bq, bk=bk, with_lse=with_lse,
     )
-    out = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((BH, Sq, Dh), q3.dtype),
+        out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         # CPU: run the same kernel in the Pallas interpreter so tests can
         # validate kernel math without TPU hardware
-        interpret=jax.default_backend() != "tpu",
+        interpret=_interpret(),
     )(jnp.asarray([offset], jnp.int32), mask[:, None, :], q3, k3, v3)
-    return out
+    return (res[0], res[1]) if with_lse else (res[0], None)
 
 
-def _reference_vjp(q, k, v, padding_mask, causal, sliding_window, offset, g):
-    """Backward via the jnp reference path (recompute); exact same math."""
-    from gritlm_tpu.ops.attention import make_attention_bias, mha_reference
+# ---------------------------------------------------------------------------
+# Backward kernels
+#
+# Standard flash backward with saved lse (no online max needed):
+#   p  = exp(q·kᵀ·scale − lse)          (zeroed where masked)
+#   dv = pᵀ · do
+#   dp = do · vᵀ
+#   ds = p ∘ (dp − delta) · scale,   delta = rowsum(do ∘ out)
+#   dq = ds · k       (accumulated over k blocks)
+#   dk = dsᵀ · q      (accumulated over q blocks)
+# dq uses grid (BH, nq, nk); dk/dv use grid (BH, nk, nq). GQA: dk/dv come out
+# per *query* head and are summed over the group outside.
 
-    def f(q, k, v):
-        bias = make_attention_bias(
-            padding_mask, q.shape[1], k.shape[1],
-            causal=causal, sliding_window=sliding_window, offset=offset,
+
+def _bwd_block(q, k, scale, lse, keep):
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    p = jnp.exp(s - lse)  # lse [bq, 1]
+    if keep is not None:
+        p = jnp.where(keep, p, 0.0)
+    return p
+
+
+def _make_keep(mask_ref, offset, iq, ik, bq, bk, shape, causal, sliding_window):
+    keep = jnp.broadcast_to(mask_ref[0, 0][None, :] > 0, shape)
+    if causal:
+        q_pos = offset + iq * bq + jax.lax.broadcasted_iota(jnp.int32, shape, 0)
+        k_pos = ik * bk + jax.lax.broadcasted_iota(jnp.int32, shape, 1)
+        keep &= k_pos <= q_pos
+        if sliding_window is not None:
+            keep &= k_pos > q_pos - sliding_window
+    return keep
+
+
+def _bwd_dq_kernel(
+    offset_ref, mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dq_ref, dq_scr,
+    *, causal, sliding_window, scale, bq, bk,
+):
+    iq, ik, nk = pl.program_id(1), pl.program_id(2), pl.num_programs(2)
+    offset = offset_ref[0]
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+
+    visible = jnp.logical_or(
+        jnp.logical_not(causal), ik * bk <= offset + (iq + 1) * bq - 1
+    )
+
+    @pl.when(visible)
+    def _body():
+        q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        lse = lse_ref[0, :, 0:1]  # [bq, 1]
+        delta = delta_ref[0, :, 0:1]
+        keep = _make_keep(mask_ref, offset, iq, ik, bq, bk,
+                          (bq, bk), causal, sliding_window)
+        p = _bwd_block(q, k, scale, lse, keep)
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [bq, bk]
+        ds = p * (dp - delta) * scale
+        dq_scr[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
         )
-        return mha_reference(q, k, v, bias)
 
-    _, vjp = jax.vjp(f, q, k, v)
-    return vjp(g)
+    @pl.when(ik == nk - 1)
+    def _finish():
+        dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(
+    offset_ref, mask_ref, q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+    dk_ref, dv_ref, dk_scr, dv_scr,
+    *, causal, sliding_window, scale, bq, bk,
+):
+    # grid (BH, nk, nq): iq is the inner (sequential) dimension
+    ik, iq, nq = pl.program_id(1), pl.program_id(2), pl.num_programs(2)
+    offset = offset_ref[0]
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    visible = jnp.logical_or(
+        jnp.logical_not(causal), ik * bk <= offset + (iq + 1) * bq - 1
+    )
+
+    @pl.when(visible)
+    def _body():
+        q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
+        lse = lse_ref[0, :, 0:1]
+        delta = delta_ref[0, :, 0:1]
+        keep = _make_keep(mask_ref, offset, iq, ik, bq, bk,
+                          (bq, bk), causal, sliding_window)
+        p = _bwd_block(q, k, scale, lse, keep)  # [bq, bk]
+        dv_scr[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bk, dh]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        ds = p * (dp - delta) * scale  # [bq, bk]
+        dk_scr[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # [bk, dh]
+
+    @pl.when(iq == nq - 1)
+    def _finish():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5)
+    jax.jit,
+    static_argnames=("causal", "sliding_window", "bq", "bk", "num_q_heads"),
 )
-def _flash_attention_core(q, k, v, padding_mask, causal, sliding_window, offset):
-    return _flash_call(q, k, v, padding_mask, causal, sliding_window, offset)
+def _flash_bwd(
+    q3, k3, v3, mask, offset, do3, lse, delta,
+    *, causal, sliding_window, num_q_heads, bq, bk,
+):
+    BH, Sq, Dh, Sk, H, B, Hkv, group = _geom(q3, k3, num_q_heads)
+    scale = Dh ** -0.5
+    nq, nk = Sq // bq, Sk // bk
+
+    def kv_index_q(bh, iq, ik, *_):
+        return ((bh // H) * Hkv + (bh % H) // group, ik, 0)
+
+    def mask_index_q(bh, iq, ik, *_):
+        return (bh // H, 0, ik)
+
+    common = dict(causal=causal, sliding_window=sliding_window,
+                  scale=scale, bq=bq, bk=bk)
+
+    dq3 = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BH, nq, nk),
+            in_specs=[
+                pl.BlockSpec((1, 1, bk), mask_index_q),
+                pl.BlockSpec((1, bq, Dh), _q_index),
+                pl.BlockSpec((1, bk, Dh), kv_index_q),
+                pl.BlockSpec((1, bk, Dh), kv_index_q),
+                pl.BlockSpec((1, bq, Dh), _q_index),
+                pl.BlockSpec((1, bq, 8), _row_index),
+                pl.BlockSpec((1, bq, 8), _row_index),
+            ],
+            out_specs=pl.BlockSpec((1, bq, Dh), _q_index),
+            scratch_shapes=[pltpu.VMEM((bq, Dh), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((BH, Sq, Dh), q3.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray([offset], jnp.int32), mask[:, None, :], q3, k3, v3, do3,
+      lse, delta)
+
+    # dk/dv: iterate q blocks innermost, one (bh, ik) accumulator at a time
+    def q_index_kv(bh, ik, iq, *_):
+        return (bh, iq, 0)
+
+    def kv_index_kv(bh, ik, iq, *_):
+        return ((bh // H) * Hkv + (bh % H) // group, ik, 0)
+
+    def mask_index_kv(bh, ik, iq, *_):
+        return (bh // H, 0, ik)
+
+    def row_index_kv(bh, ik, iq, *_):
+        return (bh, iq, 0)
+
+    dk3, dv3 = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, **common),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(BH, nk, nq),
+            in_specs=[
+                pl.BlockSpec((1, 1, bk), mask_index_kv),
+                pl.BlockSpec((1, bq, Dh), q_index_kv),
+                pl.BlockSpec((1, bk, Dh), kv_index_kv),
+                pl.BlockSpec((1, bk, Dh), kv_index_kv),
+                pl.BlockSpec((1, bq, Dh), q_index_kv),
+                pl.BlockSpec((1, bq, 8), row_index_kv),
+                pl.BlockSpec((1, bq, 8), row_index_kv),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, bk, Dh), lambda bh, ik, iq, *_: (bh, ik, 0)),
+                pl.BlockSpec((1, bk, Dh), lambda bh, ik, iq, *_: (bh, ik, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((bk, Dh), jnp.float32),
+                pltpu.VMEM((bk, Dh), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Sk, Dh), q3.dtype),
+            jax.ShapeDtypeStruct((BH, Sk, Dh), q3.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=_interpret(),
+    )(jnp.asarray([offset], jnp.int32), mask[:, None, :], q3, k3, v3, do3,
+      lse, delta)
+
+    # GQA: reduce per-query-head dk/dv onto kv heads
+    dk_kv = dk3.reshape(B, Hkv, group, Sk, Dh).sum(axis=2)
+    dv_kv = dv3.reshape(B, Hkv, group, Sk, Dh).sum(axis=2)
+    return dq3, dk_kv.reshape(B * Hkv, Sk, Dh), dv_kv.reshape(B * Hkv, Sk, Dh)
 
 
-def _flash_call(q, k, v, padding_mask, causal, sliding_window, offset):
+# ---------------------------------------------------------------------------
+# custom_vjp wiring
+
+
+def _prep(q, k, v, padding_mask, bq, bk):
     B, Sq, H, Dh = q.shape
     _, Sk, Hkv, _ = k.shape
-    bq = min(DEFAULT_BQ, _pad_len(Sq, 128))
-    bk = min(DEFAULT_BK, _pad_len(Sk, 128))
-
-    sq_p = _pad_len(Sq, bq)
-    sk_p = _pad_len(Sk, bk)
+    sq_p, sk_p = _pad_len(Sq, bq), _pad_len(Sk, bk)
     qp = jnp.pad(q, ((0, 0), (0, sq_p - Sq), (0, 0), (0, 0)))
     kp = jnp.pad(k, ((0, 0), (0, sk_p - Sk), (0, 0), (0, 0)))
     vp = jnp.pad(v, ((0, 0), (0, sk_p - Sk), (0, 0), (0, 0)))
     maskp = jnp.pad(padding_mask.astype(jnp.int32), ((0, 0), (0, sk_p - Sk)))
-
     q3 = qp.transpose(0, 2, 1, 3).reshape(B * H, sq_p, Dh)
     k3 = kp.transpose(0, 2, 1, 3).reshape(B * Hkv, sk_p, Dh)
     v3 = vp.transpose(0, 2, 1, 3).reshape(B * Hkv, sk_p, Dh)
+    return q3, k3, v3, maskp, (B, Sq, H, Dh, Sk, Hkv, sq_p, sk_p)
 
-    out = _flash_fwd(
+
+def _unflatten_q(x3, B, H, sq_p, Dh, Sq):
+    return x3.reshape(B, H, sq_p, Dh).transpose(0, 2, 1, 3)[:, :Sq]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash_attention_core(q, k, v, padding_mask, causal, sliding_window, offset):
+    out, _ = _flash_call(q, k, v, padding_mask, causal, sliding_window, offset,
+                         with_lse=False)
+    return out
+
+
+def _flash_call(q, k, v, padding_mask, causal, sliding_window, offset,
+                with_lse):
+    B, Sq, H, Dh = q.shape
+    bq = min(DEFAULT_BQ, _pad_len(Sq, 128))
+    bk = min(DEFAULT_BK, _pad_len(k.shape[1], 128))
+    q3, k3, v3, maskp, geom = _prep(q, k, v, padding_mask, bq, bk)
+    _, _, _, _, _, _, sq_p, _ = geom
+    out3, lse = _flash_fwd(
         q3, k3, v3, maskp, jnp.asarray(offset, jnp.int32),
         causal=causal, sliding_window=sliding_window,
-        num_q_heads=H, bq=bq, bk=bk,
+        num_q_heads=H, bq=bq, bk=bk, with_lse=with_lse,
     )
-    out = out.reshape(B, H, sq_p, Dh).transpose(0, 2, 1, 3)
-    return out[:, :Sq]
+    return _unflatten_q(out3, B, H, sq_p, Dh, Sq), lse
 
 
 def _core_fwd(q, k, v, padding_mask, causal, sliding_window, offset):
-    out = _flash_call(q, k, v, padding_mask, causal, sliding_window, offset)
-    return out, (q, k, v, padding_mask, offset)
+    out, lse = _flash_call(q, k, v, padding_mask, causal, sliding_window,
+                           offset, with_lse=True)
+    return out, (q, k, v, padding_mask, offset, out, lse)
 
 
 def _core_bwd(causal, sliding_window, res, g):
     import numpy as np
     from jax import dtypes
 
-    q, k, v, padding_mask, offset = res
-    dq, dk, dv = _reference_vjp(
-        q, k, v, padding_mask, causal, sliding_window, offset, g
+    q, k, v, padding_mask, offset, out, lse = res
+    B, Sq, H, Dh = q.shape
+    _, Sk, Hkv, _ = k.shape
+    bq = min(DEFAULT_BQ, _pad_len(Sq, 128))
+    bk = min(DEFAULT_BK, _pad_len(Sk, 128))
+    q3, k3, v3, maskp, geom = _prep(q, k, v, padding_mask, bq, bk)
+    _, _, _, _, _, _, sq_p, _ = geom
+    do3 = (
+        jnp.pad(g, ((0, 0), (0, sq_p - Sq), (0, 0), (0, 0)))
+        .transpose(0, 2, 1, 3).reshape(B * H, sq_p, Dh)
     )
-    # integer inputs take float0 cotangents
+    out3 = (
+        jnp.pad(out, ((0, 0), (0, sq_p - Sq), (0, 0), (0, 0)))
+        .transpose(0, 2, 1, 3).reshape(B * H, sq_p, Dh)
+    )
+    delta = jnp.sum(
+        do3.astype(jnp.float32) * out3.astype(jnp.float32), axis=-1,
+        keepdims=True,
+    )  # [BH, sq_p, 1]
+    delta = jnp.broadcast_to(delta, delta.shape[:2] + (8,))
+
+    dq3, dk3, dv3 = _flash_bwd(
+        q3, k3, v3, maskp, jnp.asarray(offset, jnp.int32), do3, lse, delta,
+        causal=causal, sliding_window=sliding_window,
+        num_q_heads=H, bq=bq, bk=bk,
+    )
+    dq = _unflatten_q(dq3, B, H, sq_p, Dh, Sq).astype(q.dtype)
+    dk = dk3.reshape(B, Hkv, -1, Dh).transpose(0, 2, 1, 3)[:, :Sk].astype(k.dtype)
+    dv = dv3.reshape(B, Hkv, -1, Dh).transpose(0, 2, 1, 3)[:, :Sk].astype(v.dtype)
     dmask = np.zeros(padding_mask.shape, dtypes.float0)
     doff = np.zeros(offset.shape, dtypes.float0)
     return dq, dk, dv, dmask, doff

@@ -58,6 +58,10 @@ class RunArguments:
     mesh_model: int = 1
     mesh_expert: int = 1
 
+    # input pipeline: native C++ loader (byte-tokenizer path; JSONL parse +
+    # tokenize + batch pack in a background thread, see native/gritloader.cpp)
+    native_loader: bool = False
+
     # io
     output_dir: str = "out"
     save_steps: int = 500

@@ -133,6 +133,33 @@ def main(argv=None) -> dict:
             start_step = int(jax.device_get(state.step))
             logger.info("resumed from step %d", start_step)
 
+    native = None
+    if args.native_loader:
+        from gritlm_tpu.tokenizer import ByteTokenizer
+
+        if not isinstance(tokenizer, ByteTokenizer):
+            logger.warning("native_loader supports the byte tokenizer only; "
+                           "falling back to the python pipeline")
+        else:
+            from gritlm_tpu.training.native_loader import NativeGritLoader
+
+            native = NativeGritLoader(
+                args.train_data, batch_size=global_bs,
+                train_group_size=args.train_group_size,
+                query_max_len=args.query_max_len,
+                passage_max_len=args.passage_max_len,
+                generative_max_len=args.generative_max_len,
+                seed=args.seed, take_nth=take_nth,
+            )
+            logger.info("native loader: %d emb / %d gen samples",
+                        native.n_emb, native.n_gen)
+
+    def batches_for(epoch: int):
+        if native is not None:
+            return native.epoch(epoch)
+        return batch_iterator(dataset, collator, global_bs,
+                              seed=args.seed, epoch=epoch)
+
     mlog = MetricsLogger(args.output_dir, args.logging_steps)
     step = start_step
     done = False
@@ -140,8 +167,7 @@ def main(argv=None) -> dict:
     for epoch in range(args.num_train_epochs * 50):  # re-iterate if max_steps larger
         if done:
             break
-        for batch in batch_iterator(dataset, collator, global_bs,
-                                    seed=args.seed, epoch=epoch):
+        for batch in batches_for(epoch):
             if step >= total_steps:
                 done = True
                 break
