@@ -38,6 +38,10 @@ class ModelConfig:
     num_local_experts: int = 0
     num_experts_per_tok: int = 2
     router_aux_loss_coef: float = 0.02
+    # MoE execution: 'dense' = all experts on all tokens (exact, small-scale);
+    # 'gshard' = capacity-based dispatch/combine (expert-parallel, all_to_all)
+    moe_impl: str = "dense"
+    capacity_factor: float = 2.0
     # numerics
     dtype: str = "bfloat16"  # parameter/activation dtype
     # bookkeeping

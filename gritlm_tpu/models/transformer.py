@@ -28,6 +28,7 @@ Dh = head dim, V = vocab, E = experts):
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple, Optional
 
 import jax
@@ -192,25 +193,81 @@ def _dense_mlp(p: dict, x: jax.Array) -> jax.Array:
     return (jax.nn.silu(x @ p["gate"]) * (x @ p["up"])) @ p["down"]
 
 
-def _moe_mlp(p: dict, x: jax.Array, cfg: ModelConfig):
-    """Mixtral token-choice top-k MoE (softmax → top-k → renormalize), computed
-    densely: every expert runs on every token, combined by the gate weights.
-    Correct and MXU-friendly; E/k× extra FLOPs. The expert-parallel dropless
-    path lands with the `expert` mesh axis (SURVEY §2.8 EP row).
-    Returns (out [B,S,D], router_logits [B*S, E])."""
-    B, S, D = x.shape
-    xt = x.reshape(B * S, D)
+def _router(p: dict, xt: jax.Array, cfg: ModelConfig):
+    """Mixtral token-choice routing: softmax → top-k → renormalize over the
+    chosen experts (reference scripts/modeling_mixtral_gritlm.py:843-882)."""
     router_logits = (xt @ p["router"]).astype(jnp.float32)  # [T, E]
     probs = jax.nn.softmax(router_logits, axis=-1)
     top_w, top_idx = jax.lax.top_k(probs, cfg.num_experts_per_tok)
-    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)  # renormalize over top-k
-    combine = jax.nn.one_hot(top_idx, probs.shape[-1], dtype=probs.dtype)  # [T, k, E]
+    top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
+    return router_logits, probs, top_w, top_idx
+
+
+def _moe_mlp_dense(p: dict, x: jax.Array, cfg: ModelConfig):
+    """Dense-gated MoE: every expert runs on every token, combined by gate
+    weights. Exact (no token dropping), MXU-friendly, E/k× extra FLOPs —
+    the right choice on few chips. Returns (out, router_logits [T, E])."""
+    B, S, D = x.shape
+    xt = x.reshape(B * S, D)
+    router_logits, probs, top_w, top_idx = _router(p, xt, cfg)
+    combine = jax.nn.one_hot(top_idx, probs.shape[-1], dtype=probs.dtype)  # [T,k,E]
     combine = jnp.einsum("tk,tke->te", top_w, combine)  # [T, E]
     h = jnp.einsum("td,edf->etf", xt, p["gate"])
     u = jnp.einsum("td,edf->etf", xt, p["up"])
     y = jnp.einsum("etf,efd->etd", jax.nn.silu(h) * u, p["down"])  # [E, T, D]
     out = jnp.einsum("te,etd->td", combine.astype(y.dtype), y)
     return out.reshape(B, S, D), router_logits
+
+
+def _moe_mlp_gshard(p: dict, x: jax.Array, cfg: ModelConfig):
+    """Expert-parallel MoE (GShard dispatch/combine einsums): each token is
+    sent to its top-k experts up to a per-expert capacity
+    C = ceil(k·T/E · capacity_factor); overflow tokens are dropped (their
+    residual stream passes through). With the expert weights sharded on the
+    `expert` mesh axis, XLA turns the dispatch/combine einsums into
+    all_to_all over ICI — the expert parallelism the reference never had
+    (SURVEY §2.8 EP row). Exceeding capacity_factor ≥ E/k makes it exact."""
+    B, S, D = x.shape
+    T = B * S
+    E = cfg.num_local_experts
+    k = cfg.num_experts_per_tok
+    xt = x.reshape(T, D)
+    router_logits, probs, top_w, top_idx = _router(p, xt, cfg)
+    C = int(math.ceil(k * T / E * cfg.capacity_factor))
+    C = min(max(C, 1), T)
+
+    # position of each (choice, token) within its expert, choice-major so the
+    # top-1 choice wins capacity over top-2 (GShard priority)
+    masks = jax.nn.one_hot(top_idx, E, dtype=jnp.int32)  # [T, k, E]
+    mask_flat = masks.transpose(1, 0, 2).reshape(k * T, E)
+    pos_flat = jnp.cumsum(mask_flat, axis=0) * mask_flat - 1  # [k*T, E]
+    pos = pos_flat.reshape(k, T, E).transpose(1, 0, 2)  # [T, k, E]
+    pos = jnp.sum(pos * masks, axis=-1)  # [T, k] slot in chosen expert
+    kept = (pos < C) & (pos >= 0)
+
+    # dispatch [T, E, C] one-hot; combine adds the gate weights
+    dispatch = (
+        jax.nn.one_hot(top_idx, E, dtype=jnp.float32)[..., None]
+        * jax.nn.one_hot(jnp.where(kept, pos, C), C + 1, dtype=jnp.float32)[
+            :, :, None, :C
+        ]
+    )  # [T, k, E, C]
+    combine = jnp.einsum("tk,tkec->tec", top_w, dispatch)  # [T, E, C]
+    dispatch = jnp.sum(dispatch, axis=1)  # [T, E, C]
+
+    xe = jnp.einsum("td,tec->ecd", xt.astype(jnp.float32), dispatch)  # [E,C,D]
+    xe = xe.astype(x.dtype)
+    h = jnp.einsum("ecd,edf->ecf", xe, p["gate"])
+    u = jnp.einsum("ecd,edf->ecf", xe, p["up"])
+    ye = jnp.einsum("ecf,efd->ecd", jax.nn.silu(h) * u, p["down"])  # [E,C,D]
+    out = jnp.einsum("ecd,tec->td", ye.astype(jnp.float32), combine)
+    return out.astype(x.dtype).reshape(B, S, D), router_logits
+
+
+def _moe_mlp(p: dict, x: jax.Array, cfg: ModelConfig):
+    if cfg.moe_impl == "gshard":
+        return _moe_mlp_gshard(p, x, cfg)
+    return _moe_mlp_dense(p, x, cfg)
 
 
 def load_balancing_loss(router_logits: jax.Array, cfg: ModelConfig,
