@@ -135,12 +135,16 @@ class FlatIndex:
             self._search_fn, _ = self._make_search()
         mode = mode or self.search_mode
         k = min(k, max(self.n_docs, 1))
-        queries = jnp.asarray(queries, jnp.float32)
+        # host-side prep only: every eager device op here would be a separate
+        # dispatch round-trip (expensive through remote runtimes)
+        if not isinstance(queries, jax.Array):
+            queries = np.asarray(queries, np.float32)
+        n_docs = np.int32(self.n_docs)
         out_s, out_i = [], []
         for a in range(0, queries.shape[0], self.QUERY_BLOCK):
             s, i = self._search_fn(
                 self.embeddings, queries[a : a + self.QUERY_BLOCK],
-                jnp.int32(self.n_docs), k=k, mode=mode,
+                n_docs, k=k, mode=mode,
             )
             out_s.append(np.asarray(jax.device_get(s)))
             out_i.append(np.asarray(jax.device_get(i)))
