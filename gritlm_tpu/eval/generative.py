@@ -1,0 +1,230 @@
+"""Generative evaluation: chat formatting, loglikelihood scoring, task metrics.
+
+The reference drives external harnesses for generative evals (open-instruct
+fork + bigcode-evaluation-harness via scripts/generative_eval.sh, README.md:
+411-447). Here the same task styles are first-class and TPU-resident:
+
+  - chat prompt formats gritlm/zephyr/tulu/mistral (eval_mteb.py:1050-1067)
+  - batched continuation log-likelihood on the MXU (one causal forward per
+    option batch; label-masked logprob sum) → multiple-choice accuracy
+    (MMLU-style)
+  - greedy generation + answer extraction → GSM8K-style numeric EM and
+    TyDiQA-style EM/F1
+  - sandboxed pass@1 execution for HumanEval-style code tasks
+
+Everything batches over examples; generation reuses the jitted decode loop in
+gritlm_tpu.generate.
+"""
+
+from __future__ import annotations
+
+import multiprocessing
+import re
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# ------------------------------------------------------------- chat formats
+
+CHAT_FORMATS = {
+    "gritlm": ("<s>", "<|user|>\n", "\n<|assistant|>\n", "</s>"),
+    "zephyr": ("<s>", "<|user|>\n", "</s>\n<|assistant|>\n", "</s>"),
+    "tulu": ("<s>", "<|user|>\n", "\n<|assistant|>\n", "</s>"),
+    "mistral": ("<s>", "[INST] ", " [/INST]", "</s>"),
+}
+
+
+def format_chat(
+    turns: Sequence[str], fmt: str = "gritlm", add_bos: bool = False
+) -> str:
+    """[user, assistant, user, ...] → one prompt string ending after the last
+    user turn's assistant-start marker (ready for generation). An odd-length
+    list means the last user turn awaits a reply."""
+    bos, user, asst, eos = CHAT_FORMATS[fmt]
+    out = bos if add_bos else ""
+    for i, t in enumerate(turns):
+        if i % 2 == 0:
+            out += f"{user}{t}{asst}"
+        else:
+            out += f"{t}{eos}"
+    return out
+
+
+# -------------------------------------------------------- loglikelihood core
+
+def _loglikelihood_batch(model, contexts: List[str], continuations: List[str],
+                         max_length: int) -> np.ndarray:
+    """Sum log P(continuation | context) per pair, one batched causal
+    forward. Continuation token spans are found by tokenizing the context
+    alone and subtracting lengths (same convention as lm-eval harnesses)."""
+    from gritlm_tpu.models.transformer import forward_lm
+
+    tok = model.tokenizer
+    full = [c + x for c, x in zip(contexts, continuations)]
+    enc = tok(full, max_length=max_length, add_special_tokens=True)
+    ids = jnp.asarray(enc["input_ids"])
+    mask = jnp.asarray(enc["attention_mask"])
+    ctx_lens = np.asarray(
+        [len(tok._encode_one(c, add_special_tokens=True)) for c in contexts]
+    )
+    logits, _, _ = forward_lm(model.params, model.config, ids,
+                              attention_mask=mask, causal=True)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # token t is predicted from position t-1
+    tgt = ids[:, 1:]
+    pred = jnp.take_along_axis(logp[:, :-1], tgt[..., None], axis=-1)[..., 0]
+    pos = np.arange(ids.shape[1] - 1)[None, :]
+    span = (pos >= (ctx_lens[:, None] - 1)) & np.asarray(mask[:, 1:] > 0)
+    return np.asarray(
+        jax.device_get(jnp.sum(pred * jnp.asarray(span), axis=1)), np.float32
+    )
+
+
+def score_continuations(
+    model, context: str, options: Sequence[str],
+    max_length: int = 1024, batch_size: int = 8,
+) -> List[float]:
+    scores: List[float] = []
+    for i in range(0, len(options), batch_size):
+        chunk = list(options[i:i + batch_size])
+        scores.extend(_loglikelihood_batch(
+            model, [context] * len(chunk), chunk, max_length))
+    return scores
+
+
+# -------------------------------------------------------------- task drivers
+
+def eval_multiple_choice(
+    model, examples: Sequence[dict], fmt: str = "gritlm",
+    max_length: int = 1024, batch_size: int = 8,
+) -> Dict[str, float]:
+    """examples: {"question": str, "choices": [str], "answer": int}.
+    MMLU-style: pick argmax continuation loglik of ' <choice>'."""
+    correct = 0
+    for ex in examples:
+        ctx = format_chat([ex["question"]], fmt=fmt)
+        opts = [" " + c for c in ex["choices"]]
+        s = score_continuations(model, ctx, opts, max_length, batch_size)
+        correct += int(int(np.argmax(s)) == ex["answer"])
+    n = max(len(examples), 1)
+    return {"accuracy": 100.0 * correct / n, "n": len(examples)}
+
+
+_NUM_RE = re.compile(r"-?\$?[\d,]*\.?\d+")
+
+
+def extract_last_number(text: str) -> Optional[str]:
+    hits = _NUM_RE.findall(text)
+    if not hits:
+        return None
+    return hits[-1].replace(",", "").replace("$", "").rstrip(".")
+
+
+def eval_gsm8k(
+    model, examples: Sequence[dict], fmt: str = "gritlm",
+    few_shot: Sequence[dict] = (), max_new_tokens: int = 256,
+    batch_size: int = 4, max_length: int = 2048,
+) -> Dict[str, float]:
+    """examples: {"question": str, "answer": str-or-number}. Few-shot CoT
+    turns are prepended as completed chat turns; the predicted answer is the
+    last number in the generation (open-instruct convention)."""
+    shots: List[str] = []
+    for s in few_shot:
+        shots += [s["question"], s.get("solution", str(s["answer"]))]
+    prompts = [format_chat(shots + [ex["question"]], fmt=fmt) for ex in examples]
+    preds: List[str] = []
+    for i in range(0, len(prompts), batch_size):
+        outs = model.generate(prompts[i:i + batch_size],
+                              max_new_tokens=max_new_tokens,
+                              max_length=max_length)
+        preds.extend(outs if isinstance(outs, list) else [outs])
+    em = 0
+    for ex, p in zip(examples, preds):
+        gold = extract_last_number(str(ex["answer"]))
+        got = extract_last_number(p)
+        em += int(gold is not None and got == gold)
+    n = max(len(examples), 1)
+    return {"exact_match": 100.0 * em / n, "n": len(examples),
+            "predictions": preds}
+
+
+def eval_qa_generation(
+    model, examples: Sequence[dict], fmt: str = "gritlm",
+    max_new_tokens: int = 32, batch_size: int = 4, max_length: int = 2048,
+) -> Dict[str, float]:
+    """examples: {"question": str, "answers": [str]} (+ optional "context").
+    TyDiQA-style generation scored with SQuAD EM/F1."""
+    from gritlm_tpu.rag.metrics import evaluate_answers
+
+    prompts = []
+    for ex in examples:
+        q = ex["question"]
+        if ex.get("context"):
+            q = f"{ex['context']}\n\n{q}"
+        prompts.append(format_chat([q], fmt=fmt))
+    preds: List[str] = []
+    for i in range(0, len(prompts), batch_size):
+        outs = model.generate(prompts[i:i + batch_size],
+                              max_new_tokens=max_new_tokens,
+                              max_length=max_length)
+        preds.extend(outs if isinstance(outs, list) else [outs])
+    metrics = evaluate_answers(preds, [list(ex["answers"]) for ex in examples])
+    metrics["n"] = len(examples)
+    return metrics
+
+
+# -------------------------------------------------------------- code (pass@1)
+
+def _exec_worker(code: str, q) -> None:
+    try:
+        g: dict = {}
+        exec(code, g)  # noqa: S102 — sandboxed in a separate process
+        q.put(True)
+    except BaseException:
+        q.put(False)
+
+
+def run_candidate(candidate: str, test_code: str, timeout: float = 5.0) -> bool:
+    """Execute candidate + tests in a subprocess with a timeout (the
+    bigcode-harness execution model, minimally)."""
+    q: multiprocessing.Queue = multiprocessing.Queue()
+    p = multiprocessing.Process(target=_exec_worker,
+                                args=(candidate + "\n" + test_code, q))
+    p.start()
+    p.join(timeout)
+    if p.is_alive():
+        p.terminate()
+        p.join()
+        return False
+    return not q.empty() and q.get()
+
+
+def eval_code_pass1(
+    model, examples: Sequence[dict], fmt: str = "gritlm",
+    max_new_tokens: int = 256, max_length: int = 2048, timeout: float = 5.0,
+) -> Dict[str, float]:
+    """examples: {"prompt": str (function signature + docstring),
+    "test": str (asserts)}. HumanEvalPack-style instruction prompt; the
+    generated body is concatenated after the prompt and executed."""
+    passed = 0
+    preds = []
+    for ex in examples:
+        instr = format_chat(
+            ["Complete the following Python function:\n\n" + ex["prompt"]],
+            fmt=fmt,
+        )
+        out = model.generate(instr, max_new_tokens=max_new_tokens,
+                             max_length=max_length)
+        preds.append(out)
+        code = ex["prompt"] + "\n" + _strip_markdown(out)
+        passed += int(run_candidate(code, ex["test"], timeout))
+    n = max(len(examples), 1)
+    return {"pass@1": 100.0 * passed / n, "n": len(examples),
+            "predictions": preds}
+
+
+def _strip_markdown(text: str) -> str:
+    m = re.search(r"```(?:python)?\n(.*?)```", text, re.DOTALL)
+    return m.group(1) if m else text

@@ -1,0 +1,77 @@
+"""Generative eval tests (reference scripts/generative_eval.sh task styles)."""
+
+import numpy as np
+import pytest
+
+from gritlm_tpu.config import tiny_mistral
+from gritlm_tpu.eval.generative import (
+    eval_code_pass1,
+    eval_multiple_choice,
+    eval_qa_generation,
+    extract_last_number,
+    format_chat,
+    run_candidate,
+    score_continuations,
+)
+from gritlm_tpu.gritlm import GritLM
+
+
+@pytest.fixture(scope="module")
+def model():
+    return GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0)
+
+
+def test_format_chat():
+    assert format_chat(["hi"], "gritlm") == "<|user|>\nhi\n<|assistant|>\n"
+    assert format_chat(["hi", "yo", "again"], "gritlm") == (
+        "<|user|>\nhi\n<|assistant|>\nyo</s><|user|>\nagain\n<|assistant|>\n"
+    )
+    assert format_chat(["q"], "mistral") == "[INST] q [/INST]"
+    assert format_chat(["q"], "zephyr").endswith("</s>\n<|assistant|>\n")
+
+
+def test_extract_last_number():
+    assert extract_last_number("so the answer is 42.") == "42"
+    assert extract_last_number("costs $1,234.50 total") == "1234.50"
+    assert extract_last_number("no digits") is None
+
+
+def test_score_continuations_prefers_repeated_token(model):
+    """Loglik of a continuation is a real number and the batch path matches
+    the one-by-one path."""
+    ctx = format_chat(["Pick a word."])
+    opts = [" apple", " banana", " cherry"]
+    batched = score_continuations(model, ctx, opts, batch_size=3)
+    single = [score_continuations(model, ctx, [o], batch_size=1)[0] for o in opts]
+    np.testing.assert_allclose(batched, single, rtol=2e-3, atol=2e-3)
+    assert all(np.isfinite(batched))
+
+
+def test_eval_multiple_choice_runs(model):
+    exs = [
+        {"question": "2+2?", "choices": ["3", "4"], "answer": 1},
+        {"question": "color of sky?", "choices": ["blue", "green"], "answer": 0},
+    ]
+    m = eval_multiple_choice(model, exs)
+    assert set(m) == {"accuracy", "n"} and m["n"] == 2
+    assert 0.0 <= m["accuracy"] <= 100.0
+
+
+def test_eval_qa_generation_runs(model):
+    exs = [{"question": "Who?", "answers": ["nobody"]}]
+    m = eval_qa_generation(model, exs, max_new_tokens=4)
+    assert {"exact_match", "match", "f1", "n"} <= set(m)
+
+
+def test_run_candidate_sandbox():
+    assert run_candidate("def f():\n    return 3", "assert f() == 3")
+    assert not run_candidate("def f():\n    return 3", "assert f() == 4")
+    assert not run_candidate("import sys\nsys.exit(1)", "assert True")
+    assert not run_candidate("while True: pass", "assert True", timeout=1.0)
+
+
+def test_eval_code_pass1_scoring_logic(model):
+    # random tiny model won't produce working code; just exercise the loop
+    exs = [{"prompt": "def add(a, b):\n", "test": "assert add(1, 2) == 3"}]
+    m = eval_code_pass1(model, exs, max_new_tokens=4)
+    assert m["n"] == 1 and m["pass@1"] in (0.0, 100.0)
