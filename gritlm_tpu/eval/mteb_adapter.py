@@ -113,8 +113,49 @@ class MTEBEncoder:
         )
 
 
-def load_instructions(instruction_file: Optional[str]) -> Dict[str, object]:
+_INSTRUCTIONS_JSON = os.path.join(
+    os.path.dirname(__file__), "instructions", "mteb_instructions.json"
+)
+
+
+def load_instruction_set(name: str = "e5") -> Dict[str, object]:
+    """Full per-task instruction table for one of the shipped sets
+    ('e5' — the GritLM eval default —, 'medi2', 'instructor-xl', …).
+    The strings are benchmark prompt data from the reference's evaluation
+    setup (eval_mteb.py:10-839), shipped as JSON. Nested
+    {task_type: {task: instr}} flattens to {task: instr}; CQADupstack
+    subforums inherit the CQADupstackRetrieval entry
+    (eval_mteb.py:1173-1174)."""
+    with open(_INSTRUCTIONS_JSON) as f:
+        sets = json.load(f)
+    if name not in sets:
+        raise ValueError(f"unknown instruction set {name!r}; "
+                         f"available: {sorted(sets)}")
+    table: Dict[str, object] = {}
+    for per_type in sets[name].values():
+        table.update(per_type)
+    from gritlm_tpu.eval.aggregate import CQADUPSTACK_SUBFORUMS
+
+    cqa = table.get("CQADupstackRetrieval")
+    if cqa is not None:
+        for sub in CQADUPSTACK_SUBFORUMS:
+            table.setdefault(sub, cqa)
+    else:
+        # sets like medi2 enumerate the subforums instead of the parent
+        for sub in CQADUPSTACK_SUBFORUMS:
+            if sub in table:
+                table["CQADupstackRetrieval"] = table[sub]
+                break
+    return table
+
+
+def load_instructions(
+    instruction_file: Optional[str] = None,
+    instruction_set: Optional[str] = None,
+) -> Dict[str, object]:
     table = dict(DEFAULT_INSTRUCTIONS)
+    if instruction_set:
+        table.update(load_instruction_set(instruction_set))
     if instruction_file:
         with open(instruction_file) as f:
             table.update(json.load(f))
@@ -127,6 +168,7 @@ def run_mteb(
     output_dir: str = "results",
     fmt: str = "gritlm",
     instruction_file: Optional[str] = None,
+    instruction_set: Optional[str] = "e5",
     batch_size: int = 32,
     max_length: int = 512,
     skip_existing: bool = True,
@@ -141,7 +183,7 @@ def run_mteb(
             "use gritlm_tpu.eval.retrieval.evaluate_retrieval for offline eval"
         ) from e
 
-    instructions = load_instructions(instruction_file)
+    instructions = load_instructions(instruction_file, instruction_set)
     results = {}
     for task_name in tasks:
         out_path = os.path.join(output_dir, f"{task_name}.json")

@@ -86,3 +86,25 @@ def test_reranker_reorders(model):
     tail_max = max(out["q"]["d3"], out["q"]["d4"])
     for d in ("d0", "d1", "d2"):
         assert out["q"][d] > tail_max
+
+
+def test_instruction_sets_complete():
+    """The shipped instruction data covers all 56 English MTEB tasks for the
+    e5 (GritLM default) and medi2 sets (reference eval_mteb.py:10-839)."""
+    from gritlm_tpu.eval.aggregate import TASK_TO_TYPE
+    from gritlm_tpu.eval.mteb_adapter import load_instruction_set, load_instructions
+
+    for set_name in ("e5", "medi2"):
+        table = load_instruction_set(set_name)
+        missing = [t for t in TASK_TO_TYPE if t not in table]
+        assert not missing, f"{set_name} missing {missing}"
+    e5 = load_instruction_set("e5")
+    assert isinstance(e5["SciFact"], dict) and "query" in e5["SciFact"]
+    # CQADupstack subforums inherit the parent instruction
+    assert e5["CQADupstackAndroidRetrieval"] == e5["CQADupstackRetrieval"]
+    merged = load_instructions(instruction_set="medi2")
+    assert "SciFact" in merged
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        load_instruction_set("nope")
