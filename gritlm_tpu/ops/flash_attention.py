@@ -33,16 +33,25 @@ DEFAULT_BK = 1024
 LANES = 128
 
 
+# Kernels process one (batch, head, q-block[, k-block]) cell. Inputs arrive
+# in the model's natural [B, S, H*Dh] layout (a free reshape of [B,S,H,Dh]);
+# each cell's BlockSpec picks its head by blocking the LANE dimension
+# (block index h over the last dim selects lanes [h*Dh, (h+1)*Dh)), so no
+# [B,S,H,D]→[B*H,S,D] relayout is ever materialized in HBM — that relayout
+# cost ~15% of encode step time. GQA maps query head h onto kv lane block
+# h // group, so shared kv blocks are DMA'd per group, never repeated in HBM.
+
+
 def _fwd_kernel(
     # scalar prefetch
     offset_ref,  # [1] int32: absolute position of q row 0
     # inputs
     mask_ref,  # [1, 1, bk] int32 key validity
-    q_ref,  # [1, bq, dh]
-    k_ref,  # [1, bk, dh]
-    v_ref,  # [1, bk, dh]
-    # outputs: o_ref [1, bq, dh]; lse_ref [1, bq, 8] iff with_lse; then
-    # scratch: m_scr/l_scr [bq, LANES] f32, acc_scr [bq, dh] f32
+    q_ref,  # [1, bq, Dh] — lane-block h of [B, Sq, H*Dh]
+    k_ref,  # [1, bk, Dh] — lane-block h//group of [B, Sk, Hkv*Dh]
+    v_ref,  # [1, bk, Dh]
+    # outputs: o_ref [1, bq, Dh]; lse_ref [1, 8, bq] iff with_lse; then
+    # scratch: m_scr/l_scr [bq, LANES] f32, acc_scr [bq, Dh] f32
     *refs,
     causal: bool,
     sliding_window: Optional[int],
@@ -55,9 +64,9 @@ def _fwd_kernel(
         o_ref, lse_ref, m_scr, l_scr, acc_scr = refs
     else:
         (o_ref, m_scr, l_scr, acc_scr), lse_ref = refs, None
-    iq = pl.program_id(1)
-    ik = pl.program_id(2)
-    nk = pl.num_programs(2)
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+    nk = pl.num_programs(3)
     offset = offset_ref[0]
 
     @pl.when(ik == 0)
@@ -135,7 +144,65 @@ def _fwd_kernel(
         if lse_ref is not None:
             m = m_scr[:, :1]
             lse = jnp.where(l > 0, m + jnp.log(safe_l), NEG_INF)  # [bq, 1]
-            lse_ref[0] = jnp.broadcast_to(lse, (lse.shape[0], 8))
+            lse_ref[0] = jnp.broadcast_to(lse.reshape(1, bq), (8, bq))
+
+
+def _fwd_kernel_single(
+    offset_ref, mask_ref, q_ref, k_ref, v_ref, *refs,
+    causal: bool,
+    sliding_window: Optional[int],
+    scale: float,
+    bq: int,
+    bk: int,
+    with_lse: bool,
+):
+    """Whole-K-in-one-block specialization (nk == 1): plain stable softmax —
+    no scratch state, no cross-iteration carries. This is the hot case for
+    encode (Sk ≤ max bk) and measurably faster than the online path."""
+    if with_lse:
+        o_ref, lse_ref = refs
+    else:
+        (o_ref,), lse_ref = refs, None
+    iq = pl.program_id(2)
+    offset = offset_ref[0]
+
+    all_keys_valid = jnp.sum(mask_ref[0, 0]) == bk
+    needs_mask = jnp.logical_not(all_keys_valid)
+    if causal:
+        needs_mask |= (bk - 1) > offset + iq * bq
+        if sliding_window is not None:
+            needs_mask |= True
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [bq, bk]
+
+    keep = jnp.broadcast_to(mask_ref[0, 0][None, :] > 0, (bq, bk))
+    if causal:
+        q_pos = offset + iq * bq + jax.lax.broadcasted_iota(
+            jnp.int32, (bq, bk), 0
+        )
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+        keep &= k_pos <= q_pos
+        if sliding_window is not None:
+            keep &= k_pos > q_pos - sliding_window
+    s = jnp.where(jnp.logical_or(jnp.logical_not(needs_mask), keep), s, NEG_INF)
+
+    m = jnp.max(s, axis=-1, keepdims=True)  # [bq, 1]
+    p = jnp.exp(s - m)
+    # rows with every key masked: m == NEG_INF → zero them out
+    p = jnp.where(s > NEG_INF / 2, p, 0.0)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    safe_l = jnp.where(l > 0, l, 1.0)
+    acc = jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[0] = (acc / safe_l).astype(o_ref.dtype)
+    if lse_ref is not None:
+        lse = jnp.where(l > 0, m + jnp.log(safe_l), NEG_INF)
+        lse_ref[0] = jnp.broadcast_to(lse.reshape(1, bq), (8, bq))
 
 
 def _pad_len(n: int, b: int) -> int:
@@ -163,15 +230,35 @@ def _row_index(bh, iq, ik, *_):  # lse/delta [BH, Sq, 8]
     return (bh, iq, 0)
 
 
+_VMEM_BUDGET = 12 * 2**20  # leave headroom under the ~16MB/core VMEM
+
+
+def _pick_bq(Sq, bk, Dh):
+    """Largest bq ≤ min(DEFAULT_BQ, Sq_padded) keeping double-buffered blocks
+    + score transients + scratch under the VMEM budget (per-cell working set:
+    q/o [bq,Dh] bf16, k/v [bk,Dh] bf16, s/p [bq,bk] f32+bf16, acc [bq,Dh] f32,
+    m/l [bq,128] f32)."""
+    bq = min(DEFAULT_BQ, _pad_len(Sq, 128))
+    kv_bytes = 2 * (2 * bk * Dh * 2)  # k + v, double-buffered
+    while bq > 128:
+        qo_bytes = 2 * (2 * bq * Dh * 2)
+        s_bytes = bq * bk * 6
+        scr_bytes = bq * Dh * 4 + 2 * bq * LANES * 4
+        if qo_bytes + kv_bytes + s_bytes + scr_bytes <= _VMEM_BUDGET:
+            break
+        bq //= 2
+    return bq
+
+
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "sliding_window", "bq", "bk", "num_q_heads",
+    static_argnames=("causal", "sliding_window", "num_q_heads", "bq", "bk",
                      "with_lse"),
 )
 def _flash_fwd(
-    q3: jax.Array,  # [B*H, Sq, Dh]
-    k3: jax.Array,  # [B*Hkv, Sk, Dh]
-    v3: jax.Array,
+    q2: jax.Array,  # [B, Sq, H*Dh] — free reshape of the natural 4D layout
+    k2: jax.Array,  # [B, Sk, Hkv*Dh]
+    v2: jax.Array,
     mask: jax.Array,  # [B, Sk] int32
     offset: jax.Array,  # [] int32
     *,
@@ -182,40 +269,70 @@ def _flash_fwd(
     bk: int,
     with_lse: bool = False,
 ):
-    BH, Sq, Dh, Sk, H, B, Hkv, group = _geom(q3, k3, num_q_heads)
+    B, Sq, HD = q2.shape
+    _, Sk, KD = k2.shape
+    H = num_q_heads
+    Dh = HD // H
+    Hkv = KD // Dh
+    group = H // Hkv
     scale = Dh ** -0.5
     nq, nk = Sq // bq, Sk // bk
+    single = nk == 1
 
-    def kv_index(bh, iq, ik, *_):
-        return ((bh // H) * Hkv + (bh % H) // group, ik, 0)
+    # index maps get grid indices + the prefetched scalar ref; the last
+    # (lane) coordinate selects the head's Dh-wide lane block
+    if single:
+        def q_index(b, h, iq, _s):
+            return (b, iq, h)
 
-    def mask_index(bh, iq, ik, *_):
-        return (bh // H, 0, ik)
+        def kv_index(b, h, iq, _s):
+            return (b, 0, h // group)
 
-    out_shapes = [jax.ShapeDtypeStruct((BH, Sq, Dh), q3.dtype)]
-    out_specs = [pl.BlockSpec((1, bq, Dh), _q_index)]
+        def mask_index(b, h, iq, _s):
+            return (b, 0, 0)
+
+        def lse_index(b, h, iq, _s):
+            return (b, h, iq)
+    else:
+        def q_index(b, h, iq, ik, _s):
+            return (b, iq, h)
+
+        def kv_index(b, h, iq, ik, _s):
+            return (b, ik, h // group)
+
+        def mask_index(b, h, iq, ik, _s):
+            return (b, 0, ik)
+
+        def lse_index(b, h, iq, ik, _s):
+            return (b, h, iq)
+
+    out_shapes = [jax.ShapeDtypeStruct((B, Sq, HD), q2.dtype)]
+    out_specs = [pl.BlockSpec((1, bq, Dh), q_index)]
     if with_lse:
-        out_shapes.append(jax.ShapeDtypeStruct((BH, Sq, 8), jnp.float32))
-        out_specs.append(pl.BlockSpec((1, bq, 8), _row_index))
+        # [B, H*8, Sq]: per-head 8-sublane stripes (a [.., bq, 8] block would
+        # violate the (×8, ×128) minor-dims rule)
+        out_shapes.append(jax.ShapeDtypeStruct((B, H * 8, Sq), jnp.float32))
+        out_specs.append(pl.BlockSpec((1, 8, bq), lse_index))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(BH, nq, nk),
+        grid=(B, H, nq) if single else (B, H, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, bk), mask_index),
-            pl.BlockSpec((1, bq, Dh), _q_index),
+            pl.BlockSpec((1, bq, Dh), q_index),
             pl.BlockSpec((1, bk, Dh), kv_index),
             pl.BlockSpec((1, bk, Dh), kv_index),
         ],
         out_specs=out_specs,
-        scratch_shapes=[
+        scratch_shapes=[] if single else [
             pltpu.VMEM((bq, LANES), jnp.float32),
             pltpu.VMEM((bq, LANES), jnp.float32),
             pltpu.VMEM((bq, Dh), jnp.float32),
         ],
     )
     kernel = functools.partial(
-        _fwd_kernel, causal=causal, sliding_window=sliding_window,
+        _fwd_kernel_single if single else _fwd_kernel,
+        causal=causal, sliding_window=sliding_window,
         scale=scale, bq=bq, bk=bk, with_lse=with_lse,
     )
     res = pl.pallas_call(
@@ -223,13 +340,18 @@ def _flash_fwd(
         grid_spec=grid_spec,
         out_shape=out_shapes,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=(
+                ("parallel", "parallel", "parallel") if single
+                else ("parallel", "parallel", "parallel", "arbitrary")
+            ),
         ),
         # CPU: run the same kernel in the Pallas interpreter so tests can
         # validate kernel math without TPU hardware
         interpret=_interpret(),
-    )(jnp.asarray([offset], jnp.int32), mask[:, None, :], q3, k3, v3)
+    )(jnp.asarray([offset], jnp.int32), mask[:, None, :], q2, k2, v2)
     return (res[0], res[1]) if with_lse else (res[0], None)
+
+
 
 
 # ---------------------------------------------------------------------------
@@ -481,16 +603,24 @@ def _flash_attention_core(q, k, v, padding_mask, causal, sliding_window, offset)
 def _flash_call(q, k, v, padding_mask, causal, sliding_window, offset,
                 with_lse):
     B, Sq, H, Dh = q.shape
-    bq = min(DEFAULT_BQ, _pad_len(Sq, 128))
-    bk = min(DEFAULT_BK, _pad_len(k.shape[1], 128))
-    q3, k3, v3, maskp, geom = _prep(q, k, v, padding_mask, bq, bk)
-    _, _, _, _, _, _, sq_p, _ = geom
-    out3, lse = _flash_fwd(
-        q3, k3, v3, maskp, jnp.asarray(offset, jnp.int32),
+    _, Sk, Hkv, _ = k.shape
+    bk = min(DEFAULT_BK, _pad_len(Sk, 128))
+    bq = _pick_bq(Sq, bk, Dh)
+    sq_p, sk_p = _pad_len(Sq, bq), _pad_len(Sk, bk)
+    qp = jnp.pad(q, ((0, 0), (0, sq_p - Sq), (0, 0), (0, 0)))
+    kp = jnp.pad(k, ((0, 0), (0, sk_p - Sk), (0, 0), (0, 0)))
+    vp = jnp.pad(v, ((0, 0), (0, sk_p - Sk), (0, 0), (0, 0)))
+    maskp = jnp.pad(padding_mask.astype(jnp.int32), ((0, 0), (0, sk_p - Sk)))
+    out2, lse = _flash_fwd(
+        qp.reshape(B, sq_p, H * Dh),  # free reshapes — no relayout
+        kp.reshape(B, sk_p, Hkv * Dh),
+        vp.reshape(B, sk_p, Hkv * Dh),
+        maskp, jnp.asarray(offset, jnp.int32),
         causal=causal, sliding_window=sliding_window,
         num_q_heads=H, bq=bq, bk=bk, with_lse=with_lse,
     )
-    return _unflatten_q(out3, B, H, sq_p, Dh, Sq), lse
+    out = out2.reshape(B, sq_p, H, Dh)[:, :Sq]
+    return out, lse  # lse stays [B, H*8, sq_p] stripes for bwd
 
 
 def _core_fwd(q, k, v, padding_mask, causal, sliding_window, offset):
@@ -510,6 +640,11 @@ def _core_bwd(causal, sliding_window, res, g):
     bk = min(DEFAULT_BK, _pad_len(Sk, 128))
     q3, k3, v3, maskp, geom = _prep(q, k, v, padding_mask, bq, bk)
     _, _, _, _, _, _, sq_p, _ = geom
+    # fwd emits lse as [B, H*8, sq_p_fwd] stripes (fwd may have used a
+    # different q-block size); bwd wants [B*H, sq_p, 8]
+    lse = lse.reshape(B, H, 8, -1).transpose(0, 1, 3, 2)[:, :, :Sq]
+    lse = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - Sq), (0, 0)))
+    lse = lse.reshape(B * H, sq_p, 8)
     do3 = (
         jnp.pad(g, ((0, 0), (0, sq_p - Sq), (0, 0), (0, 0)))
         .transpose(0, 2, 1, 3).reshape(B * H, sq_p, Dh)
