@@ -390,6 +390,41 @@ def forward(
     return x, new_cache, aux
 
 
+def apply_layer_stack(
+    layer_params: dict,
+    x: jax.Array,  # [B, S, D]
+    positions: jax.Array,  # [B, S]
+    attention_mask: Optional[jax.Array],
+    cfg: ModelConfig,
+    *,
+    causal: bool,
+    remat: bool = False,
+) -> jax.Array:
+    """Run a (slice of the) stacked layer pytree over x — no cache, no router
+    outputs. The scan body matches forward()'s layer_fn; factored out so the
+    pipeline-parallel schedule (parallel/pipeline.py) can run each stage's
+    local layer slice."""
+
+    def layer_fn(carry, lp):
+        x = carry
+        h = rms_norm(x, lp["ln1"]["scale"], cfg.rms_norm_eps)
+        attn_out, _ = _attention_block(
+            lp["attn"], h, positions, attention_mask, cfg, causal=causal
+        )
+        x = x + attn_out
+        h = rms_norm(x, lp["ln2"]["scale"], cfg.rms_norm_eps)
+        if cfg.is_moe:
+            mlp_out, _ = _moe_mlp(lp["moe"], h, cfg)
+        else:
+            mlp_out = _dense_mlp(lp["mlp"], h)
+        return x + mlp_out, None
+
+    if remat:
+        layer_fn = jax.checkpoint(layer_fn)
+    x, _ = jax.lax.scan(layer_fn, x, layer_params)
+    return x
+
+
 def logits_from_hidden(params: dict, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
     if "lm_head" in params:
         kernel = params["lm_head"]["kernel"]

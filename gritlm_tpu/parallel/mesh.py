@@ -22,12 +22,15 @@ import jax
 import numpy as np
 from jax.sharding import Mesh
 
+AXIS_STAGE = "stage"
 AXIS_DATA = "data"
 AXIS_FSDP = "fsdp"
 AXIS_MODEL = "model"
 AXIS_EXPERT = "expert"
 
-ALL_AXES = (AXIS_DATA, AXIS_FSDP, AXIS_MODEL, AXIS_EXPERT)
+# stage outermost: pipeline boundaries tolerate the slowest links (DCN in
+# multi-slice pods), everything else rides ICI
+ALL_AXES = (AXIS_STAGE, AXIS_DATA, AXIS_FSDP, AXIS_MODEL, AXIS_EXPERT)
 
 # Axes a batch dimension is sharded over (DP + FSDP both consume batch).
 BATCH_AXES = (AXIS_DATA, AXIS_FSDP)
@@ -39,13 +42,14 @@ class MeshConfig:
     fsdp: int = -1  # -1 = all remaining devices
     model: int = 1
     expert: int = 1
+    stage: int = 1  # pipeline stages (parallel/pipeline.py)
 
     def resolve(self, n_devices: int) -> "MeshConfig":
-        known = self.data * self.model * self.expert
+        known = self.data * self.model * self.expert * self.stage
         if self.fsdp == -1:
             assert n_devices % known == 0, (n_devices, self)
             return dataclasses.replace(self, fsdp=n_devices // known)
-        assert self.data * self.fsdp * self.model * self.expert == n_devices
+        assert known * self.fsdp == n_devices
         return self
 
 
@@ -54,7 +58,9 @@ def make_mesh(
 ) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
     cfg = (cfg or MeshConfig()).resolve(len(devices))
-    arr = np.asarray(devices).reshape(cfg.data, cfg.fsdp, cfg.model, cfg.expert)
+    arr = np.asarray(devices).reshape(
+        cfg.stage, cfg.data, cfg.fsdp, cfg.model, cfg.expert
+    )
     return Mesh(arr, ALL_AXES)
 
 

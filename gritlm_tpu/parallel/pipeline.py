@@ -1,0 +1,158 @@
+"""Pipeline parallelism: GPipe microbatch schedule over the `stage` mesh axis.
+
+The reference's only "pipeline" is HF device_map=auto layer placement for
+big-model inference (evaluation/eval_mteb.py:1128-1131) — sequential, one
+device busy at a time. This is a real pipeline: the stacked layer pytree is
+split into `stage` contiguous slices (one per device group along the mesh's
+`stage` axis), the batch into M microbatches, and activations flow stage→
+stage over `ppermute` inside `shard_map`. All stages compute concurrently;
+the bubble is the usual (S-1)/(M+S-1). Backward comes from jax.grad through
+the schedule (ppermute/scan are differentiable), so pipelined *training*
+works too; activation memory is bounded with per-layer remat.
+
+Composition: `stage` is manual (shard_map); `data` is also manual here (pure
+batch split — forward needs no cross-batch collectives). TP/FSDP inside a
+stage are not composed in v1 — use stage × data meshes for pipelining, or
+the default GSPMD path (train.make_sharded_train_step) for tp/fsdp/ep.
+
+Embedding, final norm and the LM head run outside the pipelined region under
+plain GSPMD (they are a tiny fraction of the FLOPs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gritlm_tpu.config import ModelConfig
+from gritlm_tpu.models.transformer import apply_layer_stack
+from gritlm_tpu.parallel.mesh import AXIS_DATA, AXIS_STAGE
+
+
+def pipeline_apply_layers(
+    layer_params: dict,
+    x: jax.Array,  # [B, S, D] embedded inputs
+    positions: jax.Array,  # [B, S]
+    attention_mask: Optional[jax.Array],  # [B, S]
+    cfg: ModelConfig,
+    mesh: Mesh,
+    *,
+    causal: bool,
+    n_microbatches: int,
+    remat: bool = True,
+) -> jax.Array:
+    """Run the full layer stack through the pipeline. Returns hidden [B,S,D]
+    (pre-final-norm). Requires L % n_stages == 0 and (per-data-shard batch)
+    % n_microbatches == 0."""
+    n_stages = mesh.shape[AXIS_STAGE]
+    L = jax.tree_util.tree_leaves(layer_params)[0].shape[0]
+    if L % n_stages:
+        raise ValueError(f"layers {L} not divisible by stages {n_stages}")
+    if n_stages == 1:
+        return apply_layer_stack(
+            layer_params, x, positions, attention_mask, cfg,
+            causal=causal, remat=remat,
+        )
+
+    B = x.shape[0]
+    M = n_microbatches
+    mask = (attention_mask if attention_mask is not None
+            else jnp.ones(x.shape[:2], jnp.int32))
+
+    # layer slices: leading L axis sharded over `stage`; batch over `data`
+    lp_spec = jax.tree_util.tree_map(
+        lambda _: P(AXIS_STAGE), layer_params
+    )
+    x_spec = P(AXIS_DATA)  # [B, S, D] → per-shard [B/d, S, D]
+    m_spec = P(AXIS_DATA)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(lp_spec, x_spec, m_spec, m_spec),
+        out_specs=x_spec,
+        check_vma=False,
+    )
+    def run(lp_local, x_local, pos_local, mask_local):
+        s = jax.lax.axis_index(AXIS_STAGE)
+        b = x_local.shape[0]
+        if b % M:
+            raise ValueError(f"per-shard batch {b} not divisible by "
+                             f"microbatches {M}")
+        mb = b // M
+        xm = x_local.reshape(M, mb, *x_local.shape[1:])
+        posm = pos_local.reshape(M, mb, pos_local.shape[1])
+        maskm = mask_local.reshape(M, mb, mask_local.shape[1])
+
+        def stage_compute(act, pos_mb, mask_mb):
+            return apply_layer_stack(
+                lp_local, act, pos_mb, mask_mb, cfg,
+                causal=causal, remat=remat,
+            )
+
+        zeros_act = jnp.zeros_like(xm[0])
+        n_ticks = M + n_stages - 1
+        # GPipe schedule: at tick t, stage s works on microbatch t - s.
+        # Every stage computes every tick (bubble ticks produce garbage that
+        # is never written out) — uniform control flow, no data-dependent
+        # branches, which is what the TPU wants.
+        perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def tick(carry, t):
+            act_in = carry
+            mb_idx = jnp.clip(t - s, 0, M - 1)
+            my_in = jnp.where(s == 0, xm[jnp.clip(t, 0, M - 1)], act_in)
+            pos_mb = posm[mb_idx]
+            mask_mb = maskm[mb_idx]
+            y = stage_compute(my_in, pos_mb, mask_mb)
+            act_next = jax.lax.ppermute(y, AXIS_STAGE, perm)
+            # last stage owns microbatch t-(S-1) when it's in range
+            out_idx = t - (n_stages - 1)
+            is_mine = (s == n_stages - 1) & (out_idx >= 0)
+            out = jnp.where(is_mine, y, 0.0)
+            return act_next, (out, jnp.where(is_mine, out_idx, M))
+        # dummy first-stage feed beyond M is clipped; its output is discarded
+
+        _, (outs, idxs) = jax.lax.scan(
+            tick, zeros_act, jnp.arange(n_ticks)
+        )
+        # scatter collected outputs into [M, mb, S, D]; rows with idx == M
+        # (other stages / bubble ticks) fall into a discard slot
+        buf = jnp.zeros((M + 1,) + outs.shape[1:], outs.dtype)
+        buf = buf.at[idxs].add(outs)
+        result = buf[:M]
+        # only the last stage holds real outputs → share around the ring
+        result = jax.lax.psum(result, AXIS_STAGE)
+        return result.reshape(b, *x_local.shape[1:])
+
+    return run(layer_params, x, positions, mask)
+
+
+def pipeline_forward(
+    params: dict,
+    cfg: ModelConfig,
+    input_ids: jax.Array,  # [B, S]
+    mesh: Mesh,
+    *,
+    attention_mask: Optional[jax.Array] = None,
+    causal: bool = True,
+    n_microbatches: int = 4,
+    remat: bool = True,
+) -> jax.Array:
+    """Trunk forward with the layer stack pipelined. Returns hidden [B,S,D]
+    after the final norm (same contract as transformer.forward without
+    cache/aux)."""
+    from gritlm_tpu.models.transformer import rms_norm
+
+    B, S = input_ids.shape
+    x = jnp.take(params["embed"]["embedding"], input_ids, axis=0)
+    positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+    x = pipeline_apply_layers(
+        params["layers"], x, positions, attention_mask, cfg, mesh,
+        causal=causal, n_microbatches=n_microbatches, remat=remat,
+    )
+    return rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)

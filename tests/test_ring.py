@@ -8,7 +8,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from gritlm_tpu.ops.attention import make_attention_bias, mha_reference
 from gritlm_tpu.ops.ring_attention import ring_attention
@@ -21,7 +21,7 @@ def _run_ring(q, k, v, mask, causal, n_dev=4):
         mesh=mesh,
         in_specs=(P(None, "seq"), P(None, "seq"), P(None, "seq"), P(None, "seq")),
         out_specs=P(None, "seq"),
-        check_rep=False,
+        check_vma=False,
     )
     return jax.jit(fn)(q, k, v, mask)
 
