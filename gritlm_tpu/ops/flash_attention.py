@@ -12,8 +12,9 @@ repetition in HBM). Supports:
   - sliding-window (Mistral) masking
   - causal block skipping (upper-triangle k blocks are predicated off)
 
-Backward currently routes through a jnp recompute (custom_vjp) — numerically
-identical to the reference path; a Pallas backward lands separately.
+Forward AND backward are Pallas kernels; both read the model's natural
+[B, S, H*Dh] activation layout directly through lane-blocked BlockSpecs, so
+no [B,S,H,D]→[B*H,S,D] relayout is ever materialized on either pass.
 """
 
 from __future__ import annotations
@@ -213,23 +214,6 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-def _geom(q3, k3, num_q_heads):
-    BH, Sq, Dh = q3.shape
-    BKV, Sk, _ = k3.shape
-    H = num_q_heads
-    B = BH // H
-    Hkv = BKV // B
-    return BH, Sq, Dh, Sk, H, B, Hkv, H // Hkv
-
-
-def _q_index(bh, iq, ik, *_):
-    return (bh, iq, 0)
-
-
-def _row_index(bh, iq, ik, *_):  # lse/delta [BH, Sq, 8]
-    return (bh, iq, 0)
-
-
 _VMEM_BUDGET = 12 * 2**20  # leave headroom under the ~16MB/core VMEM
 
 
@@ -394,7 +378,9 @@ def _bwd_dq_kernel(
     dq_ref, dq_scr,
     *, causal, sliding_window, scale, bq, bk,
 ):
-    iq, ik, nk = pl.program_id(1), pl.program_id(2), pl.num_programs(2)
+    # grid (B, H, nq, nk); q/do/dq are lane-blocks of [B, S, H*Dh],
+    # lse/delta [1, 8, bq] stripes of [B, H*8, Sq]
+    iq, ik, nk = pl.program_id(2), pl.program_id(3), pl.num_programs(3)
     offset = offset_ref[0]
 
     @pl.when(ik == 0)
@@ -408,8 +394,8 @@ def _bwd_dq_kernel(
     @pl.when(visible)
     def _body():
         q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-        lse = lse_ref[0, :, 0:1]  # [bq, 1]
-        delta = delta_ref[0, :, 0:1]
+        lse = lse_ref[0][0:1, :].T  # [bq, 1]
+        delta = delta_ref[0][0:1, :].T
         keep = _make_keep(mask_ref, offset, iq, ik, bq, bk,
                           (bq, bk), causal, sliding_window)
         p = _bwd_block(q, k, scale, lse, keep)
@@ -432,8 +418,10 @@ def _bwd_dkv_kernel(
     dk_ref, dv_ref, dk_scr, dv_scr,
     *, causal, sliding_window, scale, bq, bk,
 ):
-    # grid (BH, nk, nq): iq is the inner (sequential) dimension
-    ik, iq, nq = pl.program_id(1), pl.program_id(2), pl.num_programs(2)
+    # grid (B, H, nk, nq): iq is the inner (sequential) dimension; dk/dv come
+    # out per *query* head (lane-block h of [B, Sk, H*Dh]) and are reduced
+    # onto kv heads outside
+    ik, iq, nq = pl.program_id(2), pl.program_id(3), pl.num_programs(3)
     offset = offset_ref[0]
 
     @pl.when(iq == 0)
@@ -448,8 +436,8 @@ def _bwd_dkv_kernel(
     @pl.when(visible)
     def _body():
         q, k, v, do = q_ref[0], k_ref[0], v_ref[0], do_ref[0]
-        lse = lse_ref[0, :, 0:1]
-        delta = delta_ref[0, :, 0:1]
+        lse = lse_ref[0][0:1, :].T  # [bq, 1]
+        delta = delta_ref[0][0:1, :].T
         keep = _make_keep(mask_ref, offset, iq, ik, bq, bk,
                           (bq, bk), causal, sliding_window)
         p = _bwd_block(q, k, scale, lse, keep)  # [bq, bk]
@@ -474,80 +462,98 @@ def _bwd_dkv_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("causal", "sliding_window", "bq", "bk", "num_q_heads"),
+    static_argnames=("causal", "sliding_window", "num_q_heads", "bq", "bk"),
 )
 def _flash_bwd(
-    q3, k3, v3, mask, offset, do3, lse, delta,
+    q2, k2, v2, mask, offset, do2, lse, delta,
     *, causal, sliding_window, num_q_heads, bq, bk,
 ):
-    BH, Sq, Dh, Sk, H, B, Hkv, group = _geom(q3, k3, num_q_heads)
+    """All tensor args in natural lane-blocked layout: q2/do2 [B, Sq, H*Dh],
+    k2/v2 [B, Sk, Hkv*Dh], lse/delta [B, H*8, Sq]. Returns
+    (dq [B,Sq,H*Dh], dk/dv per-query-head [B,Sk,H*Dh])."""
+    B, Sq, HD = q2.shape
+    _, Sk, KD = k2.shape
+    H = num_q_heads
+    Dh = HD // H
+    Hkv = KD // Dh
+    group = H // Hkv
     scale = Dh ** -0.5
     nq, nk = Sq // bq, Sk // bk
 
-    def kv_index_q(bh, iq, ik, *_):
-        return ((bh // H) * Hkv + (bh % H) // group, ik, 0)
+    def q_index_dq(b, h, iq, ik, _s):
+        return (b, iq, h)
 
-    def mask_index_q(bh, iq, ik, *_):
-        return (bh // H, 0, ik)
+    def kv_index_dq(b, h, iq, ik, _s):
+        return (b, ik, h // group)
+
+    def mask_index_dq(b, h, iq, ik, _s):
+        return (b, 0, ik)
+
+    def row_index_dq(b, h, iq, ik, _s):
+        return (b, h, iq)
 
     common = dict(causal=causal, sliding_window=sliding_window,
                   scale=scale, bq=bq, bk=bk)
 
-    dq3 = pl.pallas_call(
+    dq2 = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(BH, nq, nk),
+            grid=(B, H, nq, nk),
             in_specs=[
-                pl.BlockSpec((1, 1, bk), mask_index_q),
-                pl.BlockSpec((1, bq, Dh), _q_index),
-                pl.BlockSpec((1, bk, Dh), kv_index_q),
-                pl.BlockSpec((1, bk, Dh), kv_index_q),
-                pl.BlockSpec((1, bq, Dh), _q_index),
-                pl.BlockSpec((1, bq, 8), _row_index),
-                pl.BlockSpec((1, bq, 8), _row_index),
+                pl.BlockSpec((1, 1, bk), mask_index_dq),
+                pl.BlockSpec((1, bq, Dh), q_index_dq),
+                pl.BlockSpec((1, bk, Dh), kv_index_dq),
+                pl.BlockSpec((1, bk, Dh), kv_index_dq),
+                pl.BlockSpec((1, bq, Dh), q_index_dq),
+                pl.BlockSpec((1, 8, bq), row_index_dq),
+                pl.BlockSpec((1, 8, bq), row_index_dq),
             ],
-            out_specs=pl.BlockSpec((1, bq, Dh), _q_index),
+            out_specs=pl.BlockSpec((1, bq, Dh), q_index_dq),
             scratch_shapes=[pltpu.VMEM((bq, Dh), jnp.float32)],
         ),
-        out_shape=jax.ShapeDtypeStruct((BH, Sq, Dh), q3.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Sq, HD), q2.dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
         ),
         interpret=_interpret(),
-    )(jnp.asarray([offset], jnp.int32), mask[:, None, :], q3, k3, v3, do3,
+    )(jnp.asarray([offset], jnp.int32), mask[:, None, :], q2, k2, v2, do2,
       lse, delta)
 
-    # dk/dv: iterate q blocks innermost, one (bh, ik) accumulator at a time
-    def q_index_kv(bh, ik, iq, *_):
-        return (bh, iq, 0)
+    # dk/dv: iterate q blocks innermost, one (b, h, ik) accumulator at a time
+    def q_index_kv(b, h, ik, iq, _s):
+        return (b, iq, h)
 
-    def kv_index_kv(bh, ik, iq, *_):
-        return ((bh // H) * Hkv + (bh % H) // group, ik, 0)
+    def kv_index_kv(b, h, ik, iq, _s):
+        return (b, ik, h // group)
 
-    def mask_index_kv(bh, ik, iq, *_):
-        return (bh // H, 0, ik)
+    def mask_index_kv(b, h, ik, iq, _s):
+        return (b, 0, ik)
 
-    def row_index_kv(bh, ik, iq, *_):
-        return (bh, iq, 0)
+    def row_index_kv(b, h, ik, iq, _s):
+        return (b, h, iq)
 
-    dk3, dv3 = pl.pallas_call(
+    def out_index_kv(b, h, ik, iq, _s):
+        return (b, ik, h)
+
+    dk2, dv2 = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, **common),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
-            grid=(BH, nk, nq),
+            grid=(B, H, nk, nq),
             in_specs=[
                 pl.BlockSpec((1, 1, bk), mask_index_kv),
                 pl.BlockSpec((1, bq, Dh), q_index_kv),
                 pl.BlockSpec((1, bk, Dh), kv_index_kv),
                 pl.BlockSpec((1, bk, Dh), kv_index_kv),
                 pl.BlockSpec((1, bq, Dh), q_index_kv),
-                pl.BlockSpec((1, bq, 8), row_index_kv),
-                pl.BlockSpec((1, bq, 8), row_index_kv),
+                pl.BlockSpec((1, 8, bq), row_index_kv),
+                pl.BlockSpec((1, 8, bq), row_index_kv),
             ],
             out_specs=[
-                pl.BlockSpec((1, bk, Dh), lambda bh, ik, iq, *_: (bh, ik, 0)),
-                pl.BlockSpec((1, bk, Dh), lambda bh, ik, iq, *_: (bh, ik, 0)),
+                pl.BlockSpec((1, bk, Dh), out_index_kv),
+                pl.BlockSpec((1, bk, Dh), out_index_kv),
             ],
             scratch_shapes=[
                 pltpu.VMEM((bk, Dh), jnp.float32),
@@ -555,42 +561,20 @@ def _flash_bwd(
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((BH, Sk, Dh), q3.dtype),
-            jax.ShapeDtypeStruct((BH, Sk, Dh), q3.dtype),
+            jax.ShapeDtypeStruct((B, Sk, HD), q2.dtype),
+            jax.ShapeDtypeStruct((B, Sk, HD), q2.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary"),
         ),
         interpret=_interpret(),
-    )(jnp.asarray([offset], jnp.int32), mask[:, None, :], q3, k3, v3, do3,
+    )(jnp.asarray([offset], jnp.int32), mask[:, None, :], q2, k2, v2, do2,
       lse, delta)
-
-    # GQA: reduce per-query-head dk/dv onto kv heads
-    dk_kv = dk3.reshape(B, Hkv, group, Sk, Dh).sum(axis=2)
-    dv_kv = dv3.reshape(B, Hkv, group, Sk, Dh).sum(axis=2)
-    return dq3, dk_kv.reshape(B * Hkv, Sk, Dh), dv_kv.reshape(B * Hkv, Sk, Dh)
-
+    return dq2, dk2, dv2
 
 # ---------------------------------------------------------------------------
 # custom_vjp wiring
-
-
-def _prep(q, k, v, padding_mask, bq, bk):
-    B, Sq, H, Dh = q.shape
-    _, Sk, Hkv, _ = k.shape
-    sq_p, sk_p = _pad_len(Sq, bq), _pad_len(Sk, bk)
-    qp = jnp.pad(q, ((0, 0), (0, sq_p - Sq), (0, 0), (0, 0)))
-    kp = jnp.pad(k, ((0, 0), (0, sk_p - Sk), (0, 0), (0, 0)))
-    vp = jnp.pad(v, ((0, 0), (0, sk_p - Sk), (0, 0), (0, 0)))
-    maskp = jnp.pad(padding_mask.astype(jnp.int32), ((0, 0), (0, sk_p - Sk)))
-    q3 = qp.transpose(0, 2, 1, 3).reshape(B * H, sq_p, Dh)
-    k3 = kp.transpose(0, 2, 1, 3).reshape(B * Hkv, sk_p, Dh)
-    v3 = vp.transpose(0, 2, 1, 3).reshape(B * Hkv, sk_p, Dh)
-    return q3, k3, v3, maskp, (B, Sq, H, Dh, Sk, Hkv, sq_p, sk_p)
-
-
-def _unflatten_q(x3, B, H, sq_p, Dh, Sq):
-    return x3.reshape(B, H, sq_p, Dh).transpose(0, 2, 1, 3)[:, :Sq]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -636,37 +620,43 @@ def _core_bwd(causal, sliding_window, res, g):
     q, k, v, padding_mask, offset, out, lse = res
     B, Sq, H, Dh = q.shape
     _, Sk, Hkv, _ = k.shape
-    bq = min(DEFAULT_BQ, _pad_len(Sq, 128))
     bk = min(DEFAULT_BK, _pad_len(Sk, 128))
-    q3, k3, v3, maskp, geom = _prep(q, k, v, padding_mask, bq, bk)
-    _, _, _, _, _, _, sq_p, _ = geom
-    # fwd emits lse as [B, H*8, sq_p_fwd] stripes (fwd may have used a
-    # different q-block size); bwd wants [B*H, sq_p, 8]
-    lse = lse.reshape(B, H, 8, -1).transpose(0, 1, 3, 2)[:, :, :Sq]
-    lse = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - Sq), (0, 0)))
-    lse = lse.reshape(B * H, sq_p, 8)
-    do3 = (
-        jnp.pad(g, ((0, 0), (0, sq_p - Sq), (0, 0), (0, 0)))
-        .transpose(0, 2, 1, 3).reshape(B * H, sq_p, Dh)
-    )
-    out3 = (
-        jnp.pad(out, ((0, 0), (0, sq_p - Sq), (0, 0), (0, 0)))
-        .transpose(0, 2, 1, 3).reshape(B * H, sq_p, Dh)
-    )
-    delta = jnp.sum(
-        do3.astype(jnp.float32) * out3.astype(jnp.float32), axis=-1,
-        keepdims=True,
-    )  # [BH, sq_p, 1]
-    delta = jnp.broadcast_to(delta, delta.shape[:2] + (8,))
+    bq = _pick_bq(Sq, bk, Dh)
+    sq_p, sk_p = _pad_len(Sq, bq), _pad_len(Sk, bk)
 
-    dq3, dk3, dv3 = _flash_bwd(
-        q3, k3, v3, maskp, jnp.asarray(offset, jnp.int32), do3, lse, delta,
+    def pad_s(x, total):
+        return jnp.pad(x, ((0, 0), (0, total - x.shape[1])) +
+                       ((0, 0),) * (x.ndim - 2))
+
+    q2 = pad_s(q, sq_p).reshape(B, sq_p, H * Dh)
+    do2 = pad_s(g, sq_p).reshape(B, sq_p, H * Dh)
+    out_p = pad_s(out, sq_p)
+    k2 = pad_s(k, sk_p).reshape(B, sk_p, Hkv * Dh)
+    v2 = pad_s(v, sk_p).reshape(B, sk_p, Hkv * Dh)
+    maskp = pad_s(padding_mask.astype(jnp.int32), sk_p)
+
+    # delta = rowsum(do ∘ out) per head → [B, H*8, sq_p] stripes matching lse
+    delta = jnp.sum(
+        pad_s(g, sq_p).astype(jnp.float32) * out_p.astype(jnp.float32),
+        axis=-1,
+    )  # [B, sq_p, H]
+    delta = jnp.broadcast_to(
+        delta.transpose(0, 2, 1)[:, :, None, :], (B, H, 8, sq_p)
+    ).reshape(B, H * 8, sq_p)
+    # lse arrives as [B, H*8, sq_p_fwd]; re-pad to this bq's sq_p
+    lse = lse[:, :, :Sq]
+    lse = jnp.pad(lse, ((0, 0), (0, 0), (0, sq_p - lse.shape[2])))
+
+    dq2, dk2, dv2 = _flash_bwd(
+        q2, k2, v2, maskp, jnp.asarray(offset, jnp.int32), do2, lse, delta,
         causal=causal, sliding_window=sliding_window,
         num_q_heads=H, bq=bq, bk=bk,
     )
-    dq = _unflatten_q(dq3, B, H, sq_p, Dh, Sq).astype(q.dtype)
-    dk = dk3.reshape(B, Hkv, -1, Dh).transpose(0, 2, 1, 3)[:, :Sk].astype(k.dtype)
-    dv = dv3.reshape(B, Hkv, -1, Dh).transpose(0, 2, 1, 3)[:, :Sk].astype(v.dtype)
+    dq = dq2.reshape(B, sq_p, H, Dh)[:, :Sq].astype(q.dtype)
+    # dk/dv are per query head; reduce each GQA group onto its kv head
+    group = H // Hkv
+    dk = dk2.reshape(B, sk_p, Hkv, group, Dh).sum(3)[:, :Sk].astype(k.dtype)
+    dv = dv2.reshape(B, sk_p, Hkv, group, Dh).sum(3)[:, :Sk].astype(v.dtype)
     dmask = np.zeros(padding_mask.shape, dtypes.float0)
     doff = np.zeros(offset.shape, dtypes.float0)
     return dq, dk, dv, dmask, doff
