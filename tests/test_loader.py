@@ -99,3 +99,60 @@ def test_hf_torch_parity(tmp_path):
     # compare only unpadded positions (HF pads can differ)
     np.testing.assert_allclose(l_jax[0], out[0], atol=2e-4, rtol=2e-3)
     np.testing.assert_allclose(l_jax[1, :6], out[1, :6], atol=2e-4, rtol=2e-3)
+
+
+def test_hf_torch_parity_mixtral(tmp_path):
+    """Mixtral MoE golden numerics: export tiny MoE checkpoint, load with
+    transformers MixtralForCausalLM, compare logits — pins top-2 routing,
+    renormalization, and expert MLP semantics to HF
+    (scripts/modeling_mixtral_gritlm.py:843-882)."""
+    torch = pytest.importorskip("torch")
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    cfg = tiny_mixtral()
+    params = init_params(cfg, jax.random.PRNGKey(7))
+    save_checkpoint(str(tmp_path), cfg, params)
+
+    hf_cfg = MixtralConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.rms_norm_eps,
+        num_local_experts=cfg.num_local_experts,
+        num_experts_per_tok=cfg.num_experts_per_tok,
+        sliding_window=None,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = MixtralForCausalLM(hf_cfg)
+    import safetensors.torch
+
+    sd = safetensors.torch.load_file(str(tmp_path / "model.safetensors"))
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    model = model.float().eval()
+
+    rng = np.random.default_rng(1)
+    ids = rng.integers(0, cfg.vocab_size, size=(2, 7))
+    mask = np.ones((2, 7), np.int64)
+    mask[1, 5:] = 0
+
+    with torch.no_grad():
+        out = model(
+            input_ids=torch.tensor(ids), attention_mask=torch.tensor(mask)
+        ).logits.numpy()
+
+    import jax.numpy as jnp
+
+    l_jax, _, _ = forward_lm(
+        params, cfg, jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask), causal=True,
+    )
+    l_jax = np.asarray(l_jax, np.float32)
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(l_jax[valid], out[valid], rtol=2e-4, atol=2e-4)
