@@ -114,3 +114,45 @@ def test_synthetic_passages(tmp_path):
     f = tmp_path / "doc.txt"
     f.write_text("custom doc body")
     assert synthetic_passages(str(f))[0]["text"] == "custom doc body"
+
+
+def test_prepare_nq(tmp_path):
+    from gritlm_tpu.rag.prepare_qa import prepare_nq
+
+    orig = tmp_path / "orig"
+    orig.mkdir()
+    _write_jsonl(orig / "NQ-open.train.jsonl",
+                 [{"question": f"q{i}", "answer": [f"a{i}"]} for i in range(10)])
+    _write_jsonl(orig / "NQ-open.dev.jsonl",
+                 [{"question": "qd", "answer": ["ad", "ad2"]}])
+    counts = prepare_nq(str(orig), str(tmp_path / "out"),
+                        dev_fraction_from_train=3, fewshot_seed=0, fewshot_k=4)
+    assert counts == {"train": 7, "dev": 3, "test": 1, "train.4-shot": 4}
+    row = json.loads((tmp_path / "out" / "test.jsonl").read_text().strip())
+    assert row == {"question": "qd", "answers": ["ad", "ad2"]}
+    # output feeds straight into the QA task
+    task = get_task("qa")
+    ex = task.process(row)
+    assert ex["query"] == "qd"
+
+
+def test_prepare_triviaqa(tmp_path):
+    from gritlm_tpu.rag.prepare_qa import prepare_triviaqa
+
+    d = tmp_path / "orig" / "triviaqa-unfiltered"
+    d.mkdir(parents=True)
+    mk = lambda i: {"Question": f"tq{i}", "Answer": {"Aliases": [f"x{i}", f"y{i}"]}}
+    (d / "unfiltered-web-train.json").write_text(
+        json.dumps({"Data": [mk(i) for i in range(6)]}))
+    (d / "unfiltered-web-dev.json").write_text(
+        json.dumps({"Data": [mk(10)]}))
+    idx = tmp_path / "idx"
+    idx.mkdir()
+    (idx / "TQA.train.idx.json").write_text("[0, 2, 4]")
+    (idx / "TQA.dev.idx.json").write_text("[1]")
+    (idx / "TQA.test.idx.json").write_text("[0]")
+    counts = prepare_triviaqa(str(tmp_path / "orig"), str(tmp_path / "out"),
+                              index_dir=str(idx))
+    assert counts == {"train": 3, "dev": 1, "test": 1}
+    test_row = json.loads((tmp_path / "out" / "test.jsonl").read_text().strip())
+    assert test_row["question"] == "tq10" and test_row["answers"] == ["x10", "y10"]
