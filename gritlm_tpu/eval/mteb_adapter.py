@@ -149,6 +149,37 @@ def load_instruction_set(name: str = "e5") -> Dict[str, object]:
     return table
 
 
+_FEWSHOT_JSON = os.path.join(
+    os.path.dirname(__file__), "instructions", "mteb_fewshot.json"
+)
+
+
+def apply_few_shot(
+    instruction, task_name: str, instruction_set: str = "e5"
+):
+    """Append the per-task few-shot example sentence to an instruction
+    (reference eval_mteb.py:1180-1191: retrieval instructions are
+    {query, corpus} dicts, each side gets its own example pair formatted
+    with the set's few-shot template; other task types append one pair)."""
+    with open(_FEWSHOT_JSON) as f:
+        data = json.load(f)
+    shots = data["shots"].get(instruction_set, {})
+    prompt = data["prompt"].get(instruction_set, {})
+    for task_type, tasks in shots.items():
+        if task_name not in tasks:
+            continue
+        ex = tasks[task_name]
+        if isinstance(instruction, dict):
+            tmpl = prompt.get("Retrieval", "")
+            return {
+                k: v + tmpl.format(*ex[k]) if k in ex else v
+                for k, v in instruction.items()
+            }
+        tmpl = prompt.get("Other", "")
+        return instruction + tmpl.format(*ex)
+    return instruction
+
+
 def load_instructions(
     instruction_file: Optional[str] = None,
     instruction_set: Optional[str] = None,
@@ -172,9 +203,11 @@ def run_mteb(
     batch_size: int = 32,
     max_length: int = 512,
     skip_existing: bool = True,
+    few_shot: bool = False,
 ) -> Dict[str, object]:
     """Run MTEB tasks (requires the `mteb` package + dataset access).
-    Per-task skip-if-exists mirrors eval_mteb.py:1107-1112."""
+    Per-task skip-if-exists mirrors eval_mteb.py:1107-1112; `few_shot`
+    appends the set's in-instruction examples (eval_mteb.py:841-1078)."""
     try:
         import mteb
     except ImportError as e:
@@ -189,8 +222,13 @@ def run_mteb(
         out_path = os.path.join(output_dir, f"{task_name}.json")
         if skip_existing and os.path.exists(out_path):
             continue
+        instruction = instructions.get(task_name, "")
+        if few_shot:
+            instruction = apply_few_shot(
+                instruction, task_name, instruction_set or "e5"
+            )
         encoder = MTEBEncoder(
-            model, instructions.get(task_name, ""), fmt=fmt,
+            model, instruction, fmt=fmt,
             batch_size=batch_size, max_length=max_length,
         )
         evaluation = mteb.MTEB(tasks=[task_name])

@@ -23,6 +23,23 @@ DEFAULT_TEMPLATE = (
     "Does the passage answer the query? Answer yes or no.\n<|assistant|>\n"
 )
 
+_TEMPLATES_JSON = os.path.join(
+    os.path.dirname(__file__), "instructions", "rerank_templates.json"
+)
+
+
+def load_rerank_template(task_name: str) -> str:
+    """Per-task rerank prompt (benchmark prompt data from the reference's
+    rerank path, scripts/AbsTaskRetrieval.py:19-202). The reference templates
+    use {query}/{passage}; normalized here to this module's
+    {query}/{title} {text} slots. Falls back to DEFAULT_TEMPLATE."""
+    with open(_TEMPLATES_JSON) as f:
+        templates = json.load(f)
+    t = templates.get(task_name)
+    if t is None:
+        return DEFAULT_TEMPLATE
+    return t.replace("{passage}", "{title} {text}")
+
 
 class GenerativeReranker:
     def __init__(

@@ -108,3 +108,28 @@ def test_instruction_sets_complete():
     import pytest as _pytest
     with _pytest.raises(ValueError):
         load_instruction_set("nope")
+
+
+def test_few_shot_injection():
+    from gritlm_tpu.eval.mteb_adapter import apply_few_shot, load_instruction_set
+
+    e5 = load_instruction_set("e5")
+    instr = apply_few_shot(e5["ArguAna"], "ArguAna", "e5")
+    assert isinstance(instr, dict)
+    assert instr["query"] != e5["ArguAna"]["query"]
+    assert "For example given" in instr["query"]
+    # non-retrieval task: plain string append
+    instr2 = apply_few_shot(e5["Banking77Classification"],
+                            "Banking77Classification", "e5")
+    assert isinstance(instr2, str) and len(instr2) > len(e5["Banking77Classification"])
+    # unknown task: unchanged
+    assert apply_few_shot("base", "NotATask", "e5") == "base"
+
+
+def test_rerank_templates():
+    from gritlm_tpu.eval.rerank import DEFAULT_TEMPLATE, load_rerank_template
+
+    t = load_rerank_template("SciFact")
+    assert "{query}" in t and "{title} {text}" in t and "yes" in t
+    t.format(query="q", title="t", text="x")  # all slots resolvable
+    assert load_rerank_template("NotATask") == DEFAULT_TEMPLATE
