@@ -117,6 +117,7 @@ class GritLM:
         attn: str = "bbcc",
         seed: int = 0,
         seq_buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048, 4096),
+        mesh=None,
     ) -> None:
         if attn is not None and attn not in ATTN_MODES:
             raise ValueError(
@@ -136,6 +137,28 @@ class GritLM:
         key = jax.random.PRNGKey(seed)
         if params is None:
             params = init_params(config, key, with_lm_head=(mode != "embedding"))
+
+        # Multi-chip inference (the reference's DataParallel embedding path,
+        # gritlm/gritlm.py:71-75, SURVEY §2.8 row 1): params sharded per the
+        # GSPMD rules, encode batches sharded over (data, fsdp) — XLA inserts
+        # any tp/fsdp collectives. mesh=None → single default device.
+        self.mesh = mesh
+        self._batch_sharding = None
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from gritlm_tpu.parallel.mesh import BATCH_AXES
+            from gritlm_tpu.parallel.sharding import param_partition_specs
+
+            pspecs = param_partition_specs(params)
+            params = jax.device_put(
+                params,
+                jax.tree_util.tree_map(
+                    lambda s: NamedSharding(mesh, s), pspecs,
+                    is_leaf=lambda x: isinstance(x, P),
+                ),
+            )
+            self._batch_sharding = NamedSharding(mesh, P(BATCH_AXES))
         self.params = params
 
         self.projection = None
@@ -235,9 +258,27 @@ class GritLM:
             pmask = mask.copy()
             if instr_len:
                 pmask[:, :instr_len] = 0
-            ids_j = jnp.asarray(ids)
-            mask_j = jnp.asarray(mask)
-            pmask_j = jnp.asarray(pmask)
+            n_rows = ids.shape[0]
+            if self._batch_sharding is not None:
+                # pad rows to the mesh's batch-shard count, shard over devices
+                shards = int(np.prod([
+                    self.mesh.shape[a] for a in self._batch_sharding.spec[0]
+                ]))
+                padr = -n_rows % shards
+                if padr:
+                    ids = np.pad(ids, ((0, padr), (0, 0)),
+                                 constant_values=self.tokenizer.pad_token_id)
+                    mask = np.pad(mask, ((0, padr), (0, 0)))
+                    # keep one valid token so pooling masks are non-empty
+                    mask[n_rows:, 0] = 1
+                    pmask = np.pad(pmask, ((0, padr), (0, 0)))
+                    pmask[n_rows:, 0] = 1
+                put = lambda x: jax.device_put(x, self._batch_sharding)
+            else:
+                put = jnp.asarray
+            ids_j = put(ids)
+            mask_j = put(mask)
+            pmask_j = put(pmask)
             kw = dict(
                 pooling_method=self.pooling_method,
                 causal=self.embed_causal,
@@ -250,11 +291,19 @@ class GritLM:
                     self.params, self.projection, self.config,
                     ids_j, mask_j, pmask_j, cache_len=blen, **kw,
                 )
+                if all_kv_caches.k.shape[1] != n_rows:  # drop mesh pad rows
+                    all_kv_caches = KVCache(
+                        k=all_kv_caches.k[:, :n_rows],
+                        v=all_kv_caches.v[:, :n_rows],
+                        mask=all_kv_caches.mask[:n_rows],
+                        length=all_kv_caches.length,
+                    )
             else:
                 emb = _encode_step(
                     self.params, self.projection, self.config,
                     ids_j, mask_j, pmask_j, **kw,
                 )
+            emb = emb[:n_rows]
             all_embeddings.append(
                 emb if convert_to_tensor else np.asarray(jax.device_get(emb), np.float32)
             )

@@ -88,3 +88,30 @@ def test_generate_batch_padding_invariance(model):
     solo = model.generate([p1], max_new_tokens=5)
     duo = model.generate([p1, p2], max_new_tokens=5)
     assert solo[0] == duo[0]
+
+
+def test_mesh_data_parallel_encode():
+    """Multi-device DP inference (reference DataParallel embedding path,
+    gritlm/gritlm.py:71-75): mesh-sharded encode equals single-device
+    encode, including when the batch doesn't divide the shard count."""
+    from gritlm_tpu.parallel import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    m_mesh = GritLM(tiny_mistral(), mode="embedding", attn="bbcc", seed=0,
+                    mesh=mesh)
+    m_one = GritLM(tiny_mistral(), mode="embedding", attn="bbcc", seed=0)
+    sents = [f"sentence number {i} with some words" for i in range(5)]  # 5 % 8 != 0
+    a = m_mesh.encode(sents, instruction="<|user|>\nRepresent\n<|embed|>\n")
+    b = m_one.encode(sents, instruction="<|user|>\nRepresent\n<|embed|>\n")
+    assert a.shape == b.shape == (5, m_one.config.hidden_size)
+    np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_mesh_encode_with_cache():
+    from gritlm_tpu.parallel import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    m = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0, mesh=mesh)
+    emb, cache = m.encode(["hello there"], get_cache=True)
+    assert emb.shape == (1, m.config.hidden_size)
+    assert cache.k.shape[1] == 1  # pad rows dropped
