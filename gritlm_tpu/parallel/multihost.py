@@ -1,0 +1,100 @@
+"""Multi-host runtime: initialization, process gating, global barriers.
+
+The reference's multi-node story is torchrun/accelerate + NCCL rendezvous
+with watchdog-timeout tuning (SURVEY §5.8: c10d rendezvous, 10h timeouts,
+NCCL_ASYNC_ERROR_HANDLING). On TPU pods none of that exists: every host runs
+the same program, `jax.distributed.initialize()` wires the controller, and
+collectives compile onto ICI/DCN. This module is the thin layer around that:
+
+  initialize()        idempotent jax.distributed.initialize with env detection
+  is_coordinator()    process_index == 0 (rank-0 gating for logs/writes)
+  barrier()           global device barrier via a tiny psum (the analogue of
+                      dist.barrier at checkpoint-rename time,
+                      gradcache_trainer.py:166)
+  broadcast_host_obj  coordinator → all hosts for small host-side metadata
+  local_shard_rows()  this host's row range of a globally sharded batch
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+_initialized = False
+
+
+def initialize(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Idempotent jax.distributed.initialize. On TPU pods args come from the
+    metadata server automatically; args are only needed for CPU/GPU fleets.
+    Safe to call in single-process runs (no-op)."""
+    global _initialized
+    if _initialized or jax.process_count() > 1:
+        _initialized = True
+        return
+    if coordinator_address is None and num_processes is None:
+        # single process (or TPU auto-detection already happened at import)
+        _initialized = True
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    _initialized = True
+    logger.info("jax.distributed initialized: process %d/%d, %d local devices",
+                jax.process_index(), jax.process_count(),
+                jax.local_device_count())
+
+
+def is_coordinator() -> bool:
+    return jax.process_index() == 0
+
+
+def barrier(name: str = "barrier") -> None:
+    """Block until every process reaches this point: all hosts join a tiny
+    all-reduce across all devices. Used around checkpoint renames and final
+    writes (reference dist.barrier, rag/dist_utils.py:139-141)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.sharding import Mesh
+
+    devs = np.asarray(jax.devices())
+    mesh = Mesh(devs, ("all",))
+    x = jax.device_put(
+        np.zeros((len(devs),), np.float32),
+        NamedSharding(mesh, P("all")),
+    )
+    out = jax.jit(
+        lambda v: jax.numpy.sum(v),
+        out_shardings=NamedSharding(mesh, P()),
+    )(x)
+    jax.device_get(out)
+
+
+def broadcast_host_obj(obj: Any, name: str = "bcast") -> Any:
+    """Coordinator's small pickled object → every host (host-metadata
+    exchange; the analogue of varsize object gathers in rag/dist_utils.py).
+    Uses jax's multihost broadcast when available."""
+    if jax.process_count() == 1:
+        return obj
+    from jax.experimental import multihost_utils
+
+    return multihost_utils.broadcast_one_to_all(obj)
+
+
+def local_shard_rows(n_rows: int) -> Tuple[int, int]:
+    """[start, end) row range this host owns of an n_rows global batch —
+    round-robin-free contiguous striding (loader-side sharding, the analogue
+    of rank-strided passage loading, rag/index.py:165-173)."""
+    p, n = jax.process_index(), jax.process_count()
+    per = -(-n_rows // n)
+    start = min(p * per, n_rows)
+    return start, min(start + per, n_rows)

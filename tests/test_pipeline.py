@@ -93,3 +93,15 @@ def test_pipeline_rejects_bad_split(cfg4, params4):
     with pytest.raises(ValueError, match="not divisible"):
         pipeline_forward(params4, cfg4, ids, mesh, attention_mask=mask,
                          n_microbatches=2)
+
+
+def test_multihost_helpers_single_process():
+    """Single-process semantics of the multi-host layer (multi-process paths
+    need a real pod; these pin the contracts)."""
+    from gritlm_tpu.parallel import multihost as mh
+
+    mh.initialize()
+    assert mh.is_coordinator()
+    mh.barrier()  # must not deadlock on 8 local devices
+    assert mh.broadcast_host_obj({"a": 1}) == {"a": 1}
+    assert mh.local_shard_rows(10) == (0, 10)
