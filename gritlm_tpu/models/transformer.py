@@ -98,6 +98,28 @@ def init_params(cfg: ModelConfig, key: jax.Array, with_lm_head: bool = True):
 # Building blocks
 
 
+def _w(node, dtype=None):
+    """Resolve a kernel leaf to a dense array. Understands two wrapper
+    conventions so quantized-base and LoRA training cost one transient layer:
+      {"q8", "scale"}        int8 frozen base (training/quant.py) —
+                             dequantized HERE, inside the layer scan, so only
+                             one layer's bf16 weights exist at a time
+      {"w", "A", "B"}        lazy LoRA (training/lora.apply_lora_lazy):
+                             W_eff = resolve(w) + A @ B (B pre-scaled)
+    Plain arrays pass through untouched."""
+    if isinstance(node, dict):
+        if "q8" in node:
+            out = node["q8"].astype(jnp.float32) * node["scale"]
+            return out.astype(dtype or jnp.bfloat16)
+        if "A" in node:
+            base = _w(node["w"], dtype)
+            delta = jnp.matmul(
+                node["A"].astype(jnp.float32), node["B"].astype(jnp.float32)
+            )
+            return (base.astype(jnp.float32) + delta).astype(base.dtype)
+    return node
+
+
 def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
     dt = x.dtype
     x = x.astype(jnp.float32)
@@ -164,9 +186,9 @@ def _attention_block(
 ):
     B, S, D = x.shape
     H, Kv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
-    q = (x @ p["wq"]).reshape(B, S, H, Dh)
-    k = (x @ p["wk"]).reshape(B, S, Kv, Dh)
-    v = (x @ p["wv"]).reshape(B, S, Kv, Dh)
+    q = (x @ _w(p["wq"], x.dtype)).reshape(B, S, H, Dh)
+    k = (x @ _w(p["wk"], x.dtype)).reshape(B, S, Kv, Dh)
+    v = (x @ _w(p["wv"], x.dtype)).reshape(B, S, Kv, Dh)
     q = apply_rope(q, positions, cfg.rope_theta)
     k = apply_rope(k, positions, cfg.rope_theta)
 
@@ -185,18 +207,18 @@ def _attention_block(
             causal=causal, sliding_window=cfg.sliding_window,
         )
         new_kv = (k, v)
-    out = out.reshape(B, S, H * Dh) @ p["wo"]
+    out = out.reshape(B, S, H * Dh) @ _w(p["wo"], x.dtype)
     return out, new_kv
 
 
 def _dense_mlp(p: dict, x: jax.Array) -> jax.Array:
-    return (jax.nn.silu(x @ p["gate"]) * (x @ p["up"])) @ p["down"]
+    return (jax.nn.silu(x @ _w(p["gate"], x.dtype)) * (x @ _w(p["up"], x.dtype))) @ _w(p["down"], x.dtype)
 
 
 def _router(p: dict, xt: jax.Array, cfg: ModelConfig):
     """Mixtral token-choice routing: softmax → top-k → renormalize over the
     chosen experts (reference scripts/modeling_mixtral_gritlm.py:843-882)."""
-    router_logits = (xt @ p["router"]).astype(jnp.float32)  # [T, E]
+    router_logits = (xt @ _w(p["router"], xt.dtype)).astype(jnp.float32)  # [T, E]
     probs = jax.nn.softmax(router_logits, axis=-1)
     top_w, top_idx = jax.lax.top_k(probs, cfg.num_experts_per_tok)
     top_w = top_w / jnp.sum(top_w, axis=-1, keepdims=True)
@@ -212,9 +234,9 @@ def _moe_mlp_dense(p: dict, x: jax.Array, cfg: ModelConfig):
     router_logits, probs, top_w, top_idx = _router(p, xt, cfg)
     combine = jax.nn.one_hot(top_idx, probs.shape[-1], dtype=probs.dtype)  # [T,k,E]
     combine = jnp.einsum("tk,tke->te", top_w, combine)  # [T, E]
-    h = jnp.einsum("td,edf->etf", xt, p["gate"])
-    u = jnp.einsum("td,edf->etf", xt, p["up"])
-    y = jnp.einsum("etf,efd->etd", jax.nn.silu(h) * u, p["down"])  # [E, T, D]
+    h = jnp.einsum("td,edf->etf", xt, _w(p["gate"], xt.dtype))
+    u = jnp.einsum("td,edf->etf", xt, _w(p["up"], xt.dtype))
+    y = jnp.einsum("etf,efd->etd", jax.nn.silu(h) * u, _w(p["down"], xt.dtype))  # [E, T, D]
     out = jnp.einsum("te,etd->td", combine.astype(y.dtype), y)
     return out.reshape(B, S, D), router_logits
 
@@ -257,9 +279,9 @@ def _moe_mlp_gshard(p: dict, x: jax.Array, cfg: ModelConfig):
 
     xe = jnp.einsum("td,tec->ecd", xt.astype(jnp.float32), dispatch)  # [E,C,D]
     xe = xe.astype(x.dtype)
-    h = jnp.einsum("ecd,edf->ecf", xe, p["gate"])
-    u = jnp.einsum("ecd,edf->ecf", xe, p["up"])
-    ye = jnp.einsum("ecf,efd->ecd", jax.nn.silu(h) * u, p["down"])  # [E,C,D]
+    h = jnp.einsum("ecd,edf->ecf", xe, _w(p["gate"], xe.dtype))
+    u = jnp.einsum("ecd,edf->ecf", xe, _w(p["up"], xe.dtype))
+    ye = jnp.einsum("ecf,efd->ecd", jax.nn.silu(h) * u, _w(p["down"], xe.dtype))  # [E,C,D]
     out = jnp.einsum("ecd,tec->td", ye.astype(jnp.float32), combine)
     return out.astype(x.dtype).reshape(B, S, D), router_logits
 

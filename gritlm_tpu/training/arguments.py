@@ -52,6 +52,13 @@ class RunArguments:
     remat: bool = True
     seed: int = 42
 
+    # parameter-efficient training (reference --lora/--qlora,
+    # gritlm/training/run.py:217-284; qlora = int8 frozen base, quant.py)
+    lora: bool = False
+    qlora: bool = False
+    lora_r: int = 16
+    lora_alpha: int = 64
+
     # mesh topology (replaces accelerate YAML)
     mesh_data: int = 1
     mesh_fsdp: int = -1

@@ -3,12 +3,12 @@
 Counterpart of the reference's PEFT path (gritlm/training/run.py:217-284:
 LoRA r=16, α=64 on q/k/v/o and the MLP projections). Functional formulation:
 a parallel `lora` pytree holds {A [L, in, r], B [L, r, out]} per targeted
-kernel; the effective weights W + (α/r)·A@B are materialized inside the
-train step (XLA fuses the rank-r update into the surrounding matmuls), and
-only the LoRA tree gets gradients/optimizer state. `merge` folds adapters
-into the base weights for export — no runtime dependency on this module at
-inference (QLoRA's NF4 quantization is GPU-bitsandbytes-specific; on TPU the
-frozen base already sits in bf16).
+kernel; effective weights W + (α/r)·A@B are resolved lazily per layer inside
+the model's layer scan (apply_lora_lazy + models/transformer._w) so no full
+effective-weight copy ever exists, and only the LoRA tree gets gradients /
+optimizer state. QLoRA analogue: quantize the frozen base to int8
+(training/quant.py) — dequantized one layer at a time in the same scan.
+`merge` folds adapters into dense base weights for export.
 """
 
 from __future__ import annotations
@@ -26,7 +26,10 @@ def _target_leaves(params: dict, targets: Sequence[str]):
     out = []
 
     def walk(node, path):
-        if isinstance(node, dict):
+        if isinstance(node, dict) and "q8" in node:  # int8 base (quant.py)
+            if path[-1] in targets and node["q8"].ndim == 3:
+                out.append((path, node["q8"]))
+        elif isinstance(node, dict):
             for k, v in node.items():
                 walk(v, path + (k,))
         else:
@@ -52,18 +55,49 @@ def init_lora(
     keys = jax.random.split(key, max(len(leaves), 1))
     for (path, w), k in zip(leaves, keys):
         L, din, dout = w.shape
+        dt = jnp.bfloat16 if w.dtype == jnp.int8 else w.dtype  # int8 = quantized base
         node = tree
         for p in path[:-1]:
             node = node.setdefault(p, {})
         node[path[-1]] = {
-            "A": (jax.random.normal(k, (L, din, r), jnp.float32) * 0.02).astype(w.dtype),
-            "B": jnp.zeros((L, r, dout), w.dtype),
+            "A": (jax.random.normal(k, (L, din, r), jnp.float32) * 0.02).astype(dt),
+            "B": jnp.zeros((L, r, dout), dt),
         }
     return tree, float(alpha) / float(r)
 
 
+def apply_lora_lazy(params: dict, lora: Dict, scale: float) -> dict:
+    """Return params where each adapted kernel becomes a lazy-LoRA leaf
+    {"w": base, "A": A, "B": scale·B} resolved per-layer inside the model's
+    layer scan (models/transformer._w) — never materializes a full effective
+    copy of the weights, and composes with int8-quantized bases
+    (training/quant.py), giving the TPU QLoRA analogue."""
+
+    def walk(p_node, l_node):
+        if not isinstance(p_node, dict) or "q8" in p_node:
+            return p_node
+        out = {}
+        for k, v in p_node.items():
+            ln = l_node.get(k) if isinstance(l_node, dict) else None
+            if isinstance(ln, dict) and "A" in ln:
+                out[k] = {"w": v, "A": ln["A"],
+                          "B": (ln["B"].astype(jnp.float32) * scale)}
+            elif isinstance(v, dict):
+                out[k] = walk(v, ln or {})
+            else:
+                out[k] = v
+        return out
+
+    return walk(params, lora)
+
+
 def apply_lora(params: dict, lora: Dict, scale: float) -> dict:
-    """Return params with W → W + scale·A@B on every adapted kernel."""
+    """Return params with W → W + scale·A@B on every adapted kernel,
+    materialized eagerly (export/merge path; use apply_lora_lazy in train
+    steps). Quantized bases are dequantized first."""
+    from gritlm_tpu.training.quant import dequantize_tree
+
+    params = dequantize_tree(params)
 
     def walk(p_node, l_node):
         if not isinstance(p_node, dict):
@@ -100,7 +134,7 @@ def lora_train_step_fns(base_params: dict, cfg, tc, scale: float):
     frozen = jax.lax.stop_gradient(base_params)
 
     def loss_fn(lora, batch):
-        params = apply_lora(frozen, lora, scale)
+        params = apply_lora_lazy(frozen, lora, scale)
         loss_gen = jnp.zeros((), jnp.float32)
         loss_emb = jnp.zeros((), jnp.float32)
         if "generative" in batch and tc.mode in ("unified", "generative"):
@@ -112,3 +146,73 @@ def lora_train_step_fns(base_params: dict, cfg, tc, scale: float):
         return loss_gen + loss_emb, (loss_emb, loss_gen)
 
     return loss_fn
+
+
+def make_lora_train_state(
+    mesh, cfg, tc, base_params: dict, r: int = 16, alpha: int = 64,
+    quantize: bool = False, seed: int = 0,
+):
+    """Build the LoRA/QLoRA training setup over a mesh: frozen (optionally
+    int8) base replicated on devices, LoRA tree + Adam state trained,
+    batch sharded over (data, fsdp). Returns (run_step, state) where state is
+    a train.TrainState whose `params` IS the lora tree (so CheckpointManager
+    and the run loop work unchanged); run_step closes over the frozen base.
+
+    Counterpart of the reference's PEFT branch (run.py:217-284) — but on TPU
+    the int8 base + per-layer dequant inside the scan is what bitsandbytes
+    NF4 paging is for on GPU."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gritlm_tpu.parallel.mesh import BATCH_AXES
+    from gritlm_tpu.training.quant import quantize_tree
+    from gritlm_tpu.training.train import TrainState, make_optimizer
+
+    if quantize:
+        base_params = quantize_tree(base_params)
+    replicated = NamedSharding(mesh, P())
+    base_params = jax.device_put(
+        base_params,
+        jax.tree_util.tree_map(lambda _: replicated, base_params),
+    )
+    lora, scale = init_lora(base_params, jax.random.PRNGKey(seed),
+                            r=r, alpha=alpha)
+    lora = jax.device_put(
+        lora, jax.tree_util.tree_map(lambda _: replicated, lora)
+    )
+    loss_fn = lora_train_step_fns(base_params, cfg, tc, scale)
+    opt = make_optimizer(tc)
+    opt_state = opt.init(lora)
+    state = TrainState(
+        step=jax.device_put(jnp.zeros((), jnp.int32), replicated),
+        params=lora,
+        opt_state=jax.device_put(
+            opt_state, jax.tree_util.tree_map(lambda _: replicated, opt_state)
+        ),
+    )
+    batch_ns = NamedSharding(mesh, P(BATCH_AXES))
+
+    @jax.jit
+    def step_fn(state, batch):
+        from gritlm_tpu.training.train import StepMetrics
+
+        (loss, (loss_emb, loss_gen)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params, batch)
+        import optax as _optax
+
+        gnorm = _optax.global_norm(grads)
+        updates, new_opt = opt.update(grads, state.opt_state, state.params)
+        new_lora = _optax.apply_updates(state.params, updates)
+        return (
+            TrainState(state.step + 1, new_lora, new_opt),
+            StepMetrics(loss, loss_emb, loss_gen, gnorm),
+        )
+
+    def run(state, batch):
+        batch = jax.device_put(
+            batch, jax.tree_util.tree_map(lambda _: batch_ns, batch)
+        )
+        return step_fn(state, batch)
+
+    return run, state, base_params, scale

@@ -120,8 +120,21 @@ def main(argv=None) -> dict:
                 dict(mesh.shape), global_bs, total_steps, tc.gc_chunks)
 
     # ---- state (+ resume)
-    run_step, shard_state = make_sharded_train_step(mesh, cfg, tc)
-    state = shard_state(init_train_state(params, tc))
+    lora_setup = None
+    if args.lora or args.qlora:
+        from gritlm_tpu.training.lora import make_lora_train_state
+
+        run_step, state, frozen_base, lora_scale = make_lora_train_state(
+            mesh, cfg, tc, params, r=args.lora_r, alpha=args.lora_alpha,
+            quantize=args.qlora, seed=args.seed,
+        )
+        lora_setup = (frozen_base, lora_scale)
+        logger.info("%s training: r=%d alpha=%d (base frozen%s)",
+                    "qlora" if args.qlora else "lora", args.lora_r,
+                    args.lora_alpha, ", int8" if args.qlora else "")
+    else:
+        run_step, shard_state = make_sharded_train_step(mesh, cfg, tc)
+        state = shard_state(init_train_state(params, tc))
     del params
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
                              args.save_total_limit)
@@ -183,10 +196,18 @@ def main(argv=None) -> dict:
         if args.max_steps is None and epoch + 1 >= args.num_train_epochs:
             done = True
 
-    # ---- final save: orbax + HF export
+    # ---- final save: orbax + HF export (LoRA: merged into dense weights)
     ckpt.save(state)
     export_dir = os.path.join(args.output_dir, "export")
-    host_params = jax.device_get(state.params)
+    if lora_setup is not None:
+        from gritlm_tpu.training.lora import merge
+
+        frozen_base, lora_scale = lora_setup
+        host_params = jax.device_get(
+            merge(frozen_base, state.params, lora_scale)
+        )
+    else:
+        host_params = jax.device_get(state.params)
     save_checkpoint(export_dir, cfg, host_params)
     logger.info("final checkpoint step %d → %s", step, export_dir)
     mlog.close()

@@ -64,3 +64,30 @@ def test_parse_args_types():
     assert a.resume_from_checkpoint == "auto"
     with pytest.raises(ValueError):
         parse_args(["--nope", "1"])
+
+
+@pytest.mark.slow
+def test_run_qlora_smoke(tmp_path):
+    """End-to-end QLoRA training run on toy data: int8 frozen base + LoRA
+    adapters, merged dense HF export at the end (reference --qlora path)."""
+    from gritlm_tpu.models.loader import load_checkpoint
+    from gritlm_tpu.training.run import main
+
+    out = main([
+        "--train_data", TOY,
+        "--mode", "unified",
+        "--model_preset", "tiny_mistral",
+        "--per_device_train_batch_size", "2",
+        "--max_steps", "3",
+        "--mesh_data", "4", "--mesh_fsdp", "2",
+        "--qlora", "true", "--lora_r", "4",
+        "--query_max_len", "32", "--passage_max_len", "32",
+        "--generative_max_len", "48",
+        "--logging_steps", "1", "--save_steps", "0",
+        "--output_dir", str(tmp_path),
+    ])
+    assert out["steps"] == 3
+    assert np.isfinite(out["final"]["loss"])
+    cfg2, params2 = load_checkpoint(out["export"])
+    import jax.numpy as jnp
+    assert params2["layers"]["attn"]["wq"].dtype != jnp.int8
