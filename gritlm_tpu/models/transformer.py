@@ -183,6 +183,7 @@ def _attention_block(
     *,
     causal: bool,
     layer_cache: Optional[tuple] = None,  # (k [B,Smax,Kv,Dh], v, kv_mask [B,Smax], offset)
+    ring_axis: Optional[str] = None,  # sequence-parallel: mesh axis name
 ):
     B, S, D = x.shape
     H, Kv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
@@ -191,6 +192,16 @@ def _attention_block(
     v = (x @ _w(p["wv"], x.dtype)).reshape(B, S, Kv, Dh)
     q = apply_rope(q, positions, cfg.rope_theta)
     k = apply_rope(k, positions, cfg.rope_theta)
+
+    if ring_axis is not None:
+        # sequence-sharded exact attention: K/V shards rotate the ICI ring
+        # (called inside shard_map; see parallel/seqpar.py)
+        from gritlm_tpu.ops.ring_attention import ring_attention
+
+        out = ring_attention(
+            q, k, v, padding_mask, causal=causal, axis_name=ring_axis
+        )
+        return out.reshape(B, S, H * Dh) @ _w(p["wo"], x.dtype), (k, v)
 
     if layer_cache is not None:
         ck, cv, kv_mask, offset = layer_cache
@@ -421,17 +432,20 @@ def apply_layer_stack(
     *,
     causal: bool,
     remat: bool = False,
+    ring_axis: Optional[str] = None,
 ) -> jax.Array:
     """Run a (slice of the) stacked layer pytree over x — no cache, no router
     outputs. The scan body matches forward()'s layer_fn; factored out so the
-    pipeline-parallel schedule (parallel/pipeline.py) can run each stage's
-    local layer slice."""
+    pipeline-parallel schedule (parallel/pipeline.py) and the
+    sequence-parallel path (parallel/seqpar.py, via `ring_axis`) can run it
+    on their shards."""
 
     def layer_fn(carry, lp):
         x = carry
         h = rms_norm(x, lp["ln1"]["scale"], cfg.rms_norm_eps)
         attn_out, _ = _attention_block(
-            lp["attn"], h, positions, attention_mask, cfg, causal=causal
+            lp["attn"], h, positions, attention_mask, cfg, causal=causal,
+            ring_axis=ring_axis,
         )
         x = x + attn_out
         h = rms_norm(x, lp["ln2"]["scale"], cfg.rms_norm_eps)
