@@ -143,14 +143,17 @@ class FlatIndex:
         if not isinstance(queries, jax.Array):
             queries = np.asarray(queries, np.float32)
         n_docs = np.int32(self.n_docs)
-        out_s, out_i = [], []
-        for a in range(0, queries.shape[0], self.QUERY_BLOCK):
-            s, i = self._search_fn(
+        # dispatch every block first (async), fetch after — blocks overlap on
+        # device instead of paying a host round-trip per block
+        pending = [
+            self._search_fn(
                 self.embeddings, queries[a : a + self.QUERY_BLOCK],
                 n_docs, k=k, mode=mode,
             )
-            out_s.append(np.asarray(jax.device_get(s)))
-            out_i.append(np.asarray(jax.device_get(i)))
+            for a in range(0, queries.shape[0], self.QUERY_BLOCK)
+        ]
+        out_s = [np.asarray(jax.device_get(s)) for s, _ in pending]
+        out_i = [np.asarray(jax.device_get(i)) for _, i in pending]
         return np.concatenate(out_s), np.concatenate(out_i)
 
     def search_passages(
