@@ -12,7 +12,7 @@ replaces the reference's per-dataset scorer loop.
 from __future__ import annotations
 
 import logging
-from typing import Dict, Iterable, List, Optional, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 

@@ -15,7 +15,7 @@ import argparse
 import glob
 import json
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 # ---------------------------------------------------------------- task lists
 # Public MTEB v1 English benchmark composition (56 tasks, 7 types).

@@ -11,7 +11,6 @@ eval_mteb.py:1050-1067.
 
 from __future__ import annotations
 
-import functools
 import json
 import os
 from typing import Dict, Optional, Sequence

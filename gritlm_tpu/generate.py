@@ -15,7 +15,7 @@ prompts and concatenated caches with pad holes decode correctly.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -27,7 +27,6 @@ Dh = head dim, V = vocab, E = experts):
 
 from __future__ import annotations
 
-import functools
 import math
 from typing import NamedTuple, Optional
 

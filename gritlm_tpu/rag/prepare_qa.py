@@ -16,7 +16,7 @@ from __future__ import annotations
 import json
 import os
 import random
-from typing import Callable, Dict, Iterable, List, Optional, Sequence
+from typing import Dict, Iterable, List, Optional
 
 # Public source locations (reference rag/prepare_qa.py:255-265,
 # rag/download_corpus.py:7-60). Recorded for provenance; not fetched here.

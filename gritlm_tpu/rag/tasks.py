@@ -14,7 +14,7 @@ import json
 import logging
 import random
 from collections import defaultdict
-from typing import Any, Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Type
+from typing import Callable, Dict, Iterable, Iterator, List, Optional, Sequence, Type
 
 from gritlm_tpu.rag.metrics import (
     exact_match_score,

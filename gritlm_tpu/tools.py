@@ -24,7 +24,6 @@ import argparse
 import glob
 import json
 import os
-import sys
 from typing import Dict
 
 import numpy as np

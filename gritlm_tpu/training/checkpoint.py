@@ -12,10 +12,9 @@ from __future__ import annotations
 
 import os
 import re
-from typing import Any, Optional
+from typing import Optional
 
 import jax
-import numpy as np
 import orbax.checkpoint as ocp
 
 from gritlm_tpu.training.train import TrainState

@@ -161,7 +161,6 @@ def make_lora_train_state(
     Counterpart of the reference's PEFT branch (run.py:217-284) — but on TPU
     the int8 base + per-layer dequant inside the scan is what bitsandbytes
     NF4 paging is for on GPU."""
-    import optax
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from gritlm_tpu.parallel.mesh import BATCH_AXES

@@ -19,10 +19,8 @@ from __future__ import annotations
 import json
 import logging
 import os
-from typing import Optional
 
 import jax
-import numpy as np
 
 logger = logging.getLogger("gritlm_tpu.train")
 
