@@ -223,22 +223,138 @@ class RAGEngine:
         dt = time.perf_counter() - t0 - excluded
         return RAGResult(answer=answer, passages=passages, scores=scores, seconds=dt)
 
+    def answer_batch(
+        self,
+        queries: List[str],
+        mode: CacheMode = CacheMode.PROMPT_QUERY_DOC,
+        max_new_tokens: Optional[int] = None,
+    ) -> List[RAGResult]:
+        """Batched answering: ONE encode over all queries, ONE index search,
+        ONE batched doc-cache encode, ONE batched generate — instead of the
+        per-query loop (the reference evaluates query-by-query,
+        rag/eval.py:199-302; on TPU batching the decode loop is a direct
+        throughput multiplier)."""
+        mode = CacheMode(mode)
+        mnt = max_new_tokens or self.max_new_tokens
+        t0 = time.perf_counter()
+        excluded = 0.0
+        B = len(queries)
+        if B == 0:
+            return []
+
+        if mode == CacheMode.NO_RETRIEVAL:
+            prompts = [NO_RETRIEVAL.format(query=q) for q in queries]
+            kv_cache, passages, scores = None, [[] for _ in queries], [[] for _ in queries]
+            add_special = True
+        else:
+            needs_q_cache = mode in (
+                CacheMode.QUERY, CacheMode.QUERYDOC, CacheMode.DOCQUERY
+            )
+            if needs_q_cache:
+                q_emb, q_cache = self.model.encode_queries(
+                    queries, instruction=gritlm_instruction(""),
+                    get_cache=True, max_length=self.encode_max_length,
+                )
+            else:
+                q_emb = self.model.encode_queries(
+                    queries, instruction=gritlm_instruction(""),
+                    max_length=self.encode_max_length,
+                )
+                q_cache = None
+            sc, ids = self.index.search(np.atleast_2d(q_emb), k=1)
+            doc_ids = [int(i) for i in ids[:, 0]]
+            passages = [[self.index.passages[d]] for d in doc_ids]
+            scores = [[float(s)] for s in sc[:, 0]]
+
+            if mode in (CacheMode.DOC, CacheMode.QUERYDOC, CacheMode.DOCQUERY):
+                te = time.perf_counter()
+                doc_strs = [
+                    (p[0].get("title", "") + " " + p[0]["text"]).strip()
+                    for p in passages
+                ]
+                after_query = mode == CacheMode.QUERYDOC
+                _, d_cache = self.model.encode(
+                    doc_strs,
+                    instruction=("\n" + gritlm_instruction("")) if after_query
+                    else gritlm_instruction(""),
+                    add_special_tokens=not after_query,
+                    max_length=self.encode_max_length,
+                    get_cache=True,
+                )
+                excluded += time.perf_counter() - te
+            else:
+                d_cache = None
+
+            kv_cache = None
+            if mode == CacheMode.QUERY:
+                prompts = [CONT_AFTER_QUERY_CACHE.format(**_doc_fields(p[0]))
+                           for p in passages]
+                kv_cache = q_cache
+            elif mode == CacheMode.DOC:
+                prompts = [CONT_AFTER_DOC_CACHE.format(query=q) for q in queries]
+                kv_cache = d_cache
+            elif mode == CacheMode.DOCQUERY:
+                prompts = [CONT_AFTER_DOC_QUERY_CACHES] * B
+                kv_cache = concat_caches(d_cache, q_cache)
+            elif mode == CacheMode.QUERYDOC:
+                prompts = [CONT_AFTER_QUERY_DOC_CACHES] * B
+                kv_cache = concat_caches(q_cache, d_cache)
+            elif mode == CacheMode.PROMPT_QUERY_DOC:
+                prompts = [
+                    PROMPT_QUERY_DOC.format(query=q, **_doc_fields(p[0]))
+                    for q, p in zip(queries, passages)
+                ]
+            elif mode == CacheMode.PROMPT_DOC_QUERY:
+                prompts = [
+                    PROMPT_DOC_QUERY.format(query=q, **_doc_fields(p[0]))
+                    for q, p in zip(queries, passages)
+                ]
+            add_special = kv_cache is None
+
+        prompts = [p + ANSWER_PROMPT for p in prompts]
+        enc = self.model.tokenizer(
+            prompts, max_length=4096, add_special_tokens=add_special
+        )
+        res = self.model.generate_from_ids(
+            enc["input_ids"], enc["attention_mask"],
+            cache=kv_cache, max_new_tokens=mnt,
+        )
+        toks = np.asarray(res.tokens)
+        nv = np.asarray(res.num_valid)
+        per_q = (time.perf_counter() - t0 - excluded) / B
+        return [
+            RAGResult(
+                answer=self.model.tokenizer.decode(
+                    toks[i, : nv[i]], skip_special_tokens=True
+                ),
+                passages=passages[i], scores=scores[i], seconds=per_q,
+            )
+            for i in range(B)
+        ]
+
     def evaluate(
         self,
         queries: List[str],
         gold_answers: List[List[str]],
         mode: CacheMode = CacheMode.PROMPT_QUERY_DOC,
         max_new_tokens: Optional[int] = None,
+        batch_size: int = 8,
     ) -> Dict[str, Any]:
         """QA eval loop: EM/match/F1 + latency stats JSON (schema of the
-        reference's *-latency.json, rag/eval.py:341-366)."""
+        reference's *-latency.json, rag/eval.py:341-366). Queries run in
+        batches through answer_batch."""
         from gritlm_tpu.rag.metrics import evaluate_answers
 
+        mode = CacheMode(mode)
+
         preds, times = [], []
-        for q in queries:
-            r = self.answer(q, mode=mode, max_new_tokens=max_new_tokens)
-            preds.append(r.answer)
-            times.append(r.seconds)
+        for a in range(0, len(queries), batch_size):
+            for r in self.answer_batch(
+                queries[a:a + batch_size], mode=mode,
+                max_new_tokens=max_new_tokens,
+            ):
+                preds.append(r.answer)
+                times.append(r.seconds)
         metrics = evaluate_answers(preds, gold_answers)
         metrics.update(
             {

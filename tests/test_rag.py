@@ -74,3 +74,28 @@ def test_evaluate_schema(engine):
                 "total_seconds", "n", "predictions"):
         assert key in m
     assert m["n"] == 2
+
+
+def test_answer_batch_matches_single(engine):
+    """Batched answering must produce the same answers as the per-query path
+    in every cache mode."""
+    queries = ["what is the first doc about?", "tell me about topic two"]
+    for mode in ("no_retrieval", "prompt_query_doc", "prompt_doc_query",
+                 "query", "doc", "docquery", "querydoc"):
+        batch = engine.answer_batch(queries, mode=mode, max_new_tokens=4)
+        singles = [engine.answer(q, mode=mode, max_new_tokens=4)
+                   for q in queries]
+        assert len(batch) == 2
+        for b, s in zip(batch, singles):
+            assert b.answer == s.answer, mode
+            if mode != "no_retrieval":
+                assert [p.get("text") for p in b.passages] == \
+                       [p.get("text") for p in s.passages], mode
+
+
+def test_evaluate_batched(engine):
+    m = engine.evaluate(
+        ["q one?", "q two?"], [["nothing"], ["nothing"]],
+        mode="prompt_query_doc", max_new_tokens=4, batch_size=2,
+    )
+    assert m["n"] == 2 and len(m["predictions"]) == 2
