@@ -37,8 +37,23 @@ def _partial_attention(
     k_offset,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (out [B,Sq,H,Dh] normalized within this kv shard,
-    lse [B,Sq,H] log-denominator). fp32 softmax."""
+    lse [B,Sq,H] log-denominator). Large shards route through the Pallas
+    flash kernel (blockwise — no [B,H,Sq,Sk] score materialization, which is
+    what makes long-context ring shards memory-feasible); tiny shards fall
+    back to the einsum reference. fp32 softmax either way."""
     b, sq, h, d = q.shape
+    if d % 128 == 0 and sq >= 128 and k.shape[1] >= 128:
+        from gritlm_tpu.ops.flash_attention import _flash_call
+
+        mask = kv_mask if kv_mask is not None else jnp.ones(k.shape[:2], jnp.int32)
+        # the kernel's causal rule is k_pos <= offset + q_row with k at 0;
+        # offset = q_offset − k_offset reproduces the ring shard geometry
+        out, lse_str = _flash_call(
+            q, k, v, mask, causal, None,
+            jnp.asarray(q_offset - k_offset, jnp.int32), with_lse=True,
+        )
+        lse = lse_str.reshape(b, h, 8, -1)[:, :, 0, :sq].transpose(0, 2, 1)
+        return out, lse
     hkv = k.shape[2]
     g = h // hkv
     scale = d ** -0.5

@@ -63,3 +63,35 @@ def test_masked_whole_shard():
     bias = make_attention_bias(mask, S, S, causal=False)
     out_full = mha_reference(q, k, v, bias)
     np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_full), atol=2e-5)
+
+
+def test_ring_flash_inner_path():
+    """Shards big enough for the Pallas inner kernel (Dh=128, S/P>=128) must
+    match the reference attention, both modes."""
+    import numpy as np
+
+    from gritlm_tpu.ops.attention import make_attention_bias, mha_reference
+
+    B, S, H, Hkv, Dh, P_ = 1, 512, 4, 2, 128, 4
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, Dh), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, Hkv, Dh), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, Hkv, Dh), jnp.float32)
+    mask = jnp.ones((B, S), jnp.int32).at[:, 480:].set(0)
+    mesh = Mesh(np.asarray(jax.devices()[:P_]), ("sp",))
+    for causal in (False, True):
+        fn = shard_map(
+            lambda q, k, v, m: ring_attention(
+                q, k, v, m, causal=causal, axis_name="sp"
+            ),
+            mesh=mesh,
+            in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp"), P(None, "sp")),
+            out_specs=P(None, "sp"),
+            check_vma=False,
+        )
+        got = jax.jit(fn)(q, k, v, mask)
+        ref = mha_reference(q, k, v, make_attention_bias(mask, S, S, causal=causal))
+        valid = np.asarray(mask[0], bool)
+        np.testing.assert_allclose(
+            np.asarray(got)[:, valid], np.asarray(ref)[:, valid],
+            rtol=2e-3, atol=2e-3,
+        )
