@@ -150,78 +150,9 @@ class RAGEngine:
         """Answer one query under the given cache mode. Returns the answer,
         retrieved passages and wall time (cache-precompute time excluded,
         reference time_to_remove protocol rag/eval.py:199-235)."""
-        mode = CacheMode(mode)
-        mnt = max_new_tokens or self.max_new_tokens
-        t0 = time.perf_counter()
-        excluded = 0.0
-        kv_cache = None
-        passages: List[dict] = []
-        scores: List[float] = []
-
-        if mode == CacheMode.NO_RETRIEVAL:
-            prompt = NO_RETRIEVAL.format(query=query)
-            add_special = True
-        else:
-            needs_query_cache = mode in (
-                CacheMode.QUERY, CacheMode.QUERYDOC, CacheMode.DOCQUERY
-            )
-            if needs_query_cache:
-                q_emb, q_cache = self.model.encode_queries(
-                    [query],
-                    instruction=gritlm_instruction(""),
-                    get_cache=True,
-                    max_length=self.encode_max_length,
-                )
-            else:
-                q_emb = self.model.encode_queries(
-                    [query], instruction=gritlm_instruction(""),
-                    max_length=self.encode_max_length,
-                )
-                q_cache = None
-            sc, ids = self.index.search(np.atleast_2d(q_emb), k=1)
-            doc_id = int(ids[0, 0])
-            passages = [self.index.passages[doc_id]]
-            scores = [float(sc[0, 0])]
-
-            if mode in (CacheMode.DOC, CacheMode.QUERYDOC, CacheMode.DOCQUERY):
-                key = (doc_id, mode == CacheMode.QUERYDOC)
-                if key not in self._doc_cache:
-                    te = time.perf_counter()
-                    self.precompute_doc_cache(doc_id, mode)
-                    excluded += time.perf_counter() - te
-                d_cache = self._doc_cache[key]
-            else:
-                d_cache = None
-
-            f = _doc_fields(passages[0])
-            if mode == CacheMode.QUERY:
-                prompt, kv_cache = CONT_AFTER_QUERY_CACHE.format(**f), q_cache
-            elif mode == CacheMode.DOC:
-                prompt, kv_cache = CONT_AFTER_DOC_CACHE.format(query=query), d_cache
-            elif mode == CacheMode.DOCQUERY:
-                prompt = CONT_AFTER_DOC_QUERY_CACHES
-                kv_cache = concat_caches(d_cache, q_cache)
-            elif mode == CacheMode.QUERYDOC:
-                prompt = CONT_AFTER_QUERY_DOC_CACHES
-                kv_cache = concat_caches(q_cache, d_cache)
-            elif mode == CacheMode.PROMPT_QUERY_DOC:
-                prompt = PROMPT_QUERY_DOC.format(query=query, **f)
-            elif mode == CacheMode.PROMPT_DOC_QUERY:
-                prompt = PROMPT_DOC_QUERY.format(query=query, **f)
-            add_special = kv_cache is None  # bos already inside the cache
-
-        prompt += ANSWER_PROMPT
-        enc = self.model.tokenizer(
-            [prompt], max_length=4096, add_special_tokens=add_special
-        )
-        res = self.model.generate_from_ids(
-            enc["input_ids"], enc["attention_mask"],
-            cache=kv_cache, max_new_tokens=mnt,
-        )
-        toks = np.asarray(res.tokens)[0][: int(np.asarray(res.num_valid)[0])]
-        answer = self.model.tokenizer.decode(toks, skip_special_tokens=True)
-        dt = time.perf_counter() - t0 - excluded
-        return RAGResult(answer=answer, passages=passages, scores=scores, seconds=dt)
+        return self.answer_batch(
+            [query], mode=mode, max_new_tokens=max_new_tokens
+        )[0]
 
     def answer_batch(
         self,
@@ -267,21 +198,29 @@ class RAGEngine:
             scores = [[float(s)] for s in sc[:, 0]]
 
             if mode in (CacheMode.DOC, CacheMode.QUERYDOC, CacheMode.DOCQUERY):
-                te = time.perf_counter()
-                doc_strs = [
-                    (p[0].get("title", "") + " " + p[0]["text"]).strip()
-                    for p in passages
-                ]
                 after_query = mode == CacheMode.QUERYDOC
-                _, d_cache = self.model.encode(
-                    doc_strs,
-                    instruction=("\n" + gritlm_instruction("")) if after_query
-                    else gritlm_instruction(""),
-                    add_special_tokens=not after_query,
-                    max_length=self.encode_max_length,
-                    get_cache=True,
-                )
-                excluded += time.perf_counter() - te
+                memo_key = (doc_ids[0], after_query)
+                if B == 1 and memo_key in self._doc_cache:
+                    # single-query path reuses per-doc caches (the reference
+                    # stores them in doc_map at build time, rag/eval.py:137-148)
+                    d_cache = self._doc_cache[memo_key]
+                else:
+                    te = time.perf_counter()
+                    doc_strs = [
+                        (p[0].get("title", "") + " " + p[0]["text"]).strip()
+                        for p in passages
+                    ]
+                    _, d_cache = self.model.encode(
+                        doc_strs,
+                        instruction=("\n" + gritlm_instruction("")) if after_query
+                        else gritlm_instruction(""),
+                        add_special_tokens=not after_query,
+                        max_length=self.encode_max_length,
+                        get_cache=True,
+                    )
+                    excluded += time.perf_counter() - te
+                    if B == 1:
+                        self._doc_cache[memo_key] = d_cache
             else:
                 d_cache = None
 
