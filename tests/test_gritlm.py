@@ -115,3 +115,33 @@ def test_mesh_encode_with_cache():
     emb, cache = m.encode(["hello there"], get_cache=True)
     assert emb.shape == (1, m.config.hidden_size)
     assert cache.k.shape[1] == 1  # pad rows dropped
+
+
+def test_generate_sampling_paths(model):
+    """Temperature/top_k sampling: deterministic per seed, varies across
+    seeds, and stays within the top-k support."""
+    prompt = "<|user|>\nSay something\n<|assistant|>\n"
+    a = model.generate(prompt, max_new_tokens=8, temperature=1.0, top_k=5, seed=1)
+    b = model.generate(prompt, max_new_tokens=8, temperature=1.0, top_k=5, seed=1)
+    assert a == b  # same PRNG key → identical
+    outs = {model.generate(prompt, max_new_tokens=8, temperature=1.0, seed=s)
+            for s in range(6)}
+    assert len(outs) > 1  # sampling actually varies
+
+
+def test_generate_eos_stops(model):
+    """Rows that hit EOS early emit pad afterwards and num_valid reflects it."""
+    import jax.numpy as jnp
+
+    enc = model.tokenizer(["ab", "a much longer prompt here"], max_length=64)
+    res = model.generate_from_ids(
+        enc["input_ids"], enc["attention_mask"], max_new_tokens=12,
+    )
+    toks = np.asarray(res.tokens)
+    nv = np.asarray(res.num_valid)
+    eos, pad = model.tokenizer.eos_token_id, model.tokenizer.pad_token_id
+    for r in range(2):
+        assert 0 <= nv[r] <= 12
+        if nv[r] < 12:
+            assert toks[r, nv[r] - 1] == eos  # last valid token is the EOS
+            assert np.all(toks[r, nv[r]:] == pad)
