@@ -90,6 +90,51 @@ def broadcast_host_obj(obj: Any, name: str = "bcast") -> Any:
     return multihost_utils.broadcast_one_to_all(obj)
 
 
+def weighted_average(value: float, count: float) -> Tuple[float, float]:
+    """Global weighted mean over hosts: returns (avg, total_count) — the
+    analogue of rag/dist_utils.weighted_average (dist_utils.py:91-104)."""
+    if jax.process_count() == 1:
+        return (value, count)
+    from jax.experimental import multihost_utils
+
+    arr = multihost_utils.process_allgather(
+        np.asarray([value * count, count], np.float64)
+    )
+    tot_w, tot_c = float(arr[:, 0].sum()), float(arr[:, 1].sum())
+    return (tot_w / max(tot_c, 1e-9), tot_c)
+
+
+def avg_dist_dict(keys, d: dict) -> dict:
+    """Average a {metric: (value, count)}-style dict across hosts
+    (rag/dist_utils.avg_dist_dict, dist_utils.py:106-111)."""
+    return {k: weighted_average(d[k], d.get("count", 1))[0] for k in keys}
+
+
+def save_distributed_rows(rows, path: str) -> Optional[str]:
+    """Every host dumps its rows to path.tmp.<rank>; the coordinator merges
+    them into one JSONL at `path` (reference save_distributed_dataset,
+    rag/dist_utils.py:113-137). Returns the final path on the coordinator,
+    None elsewhere."""
+    import glob
+    import json
+    import os
+
+    tmp = f"{path}.tmp.{jax.process_index()}"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    with open(tmp, "w", encoding="utf-8") as f:
+        for r in rows:
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+    barrier("save_distributed_rows")
+    if not is_coordinator():
+        return None
+    with open(path, "w", encoding="utf-8") as out:
+        for part in sorted(glob.glob(f"{path}.tmp.*")):
+            with open(part, encoding="utf-8") as f:
+                out.write(f.read())
+            os.remove(part)
+    return path
+
+
 def local_shard_rows(n_rows: int) -> Tuple[int, int]:
     """[start, end) row range this host owns of an n_rows global batch —
     round-robin-free contiguous striding (loader-side sharding, the analogue

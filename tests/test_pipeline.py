@@ -105,3 +105,16 @@ def test_multihost_helpers_single_process():
     mh.barrier()  # must not deadlock on 8 local devices
     assert mh.broadcast_host_obj({"a": 1}) == {"a": 1}
     assert mh.local_shard_rows(10) == (0, 10)
+
+
+def test_multihost_metric_and_dump_helpers(tmp_path):
+    from gritlm_tpu.parallel import multihost as mh
+
+    avg, n = mh.weighted_average(0.5, 10)
+    assert (avg, n) == (0.5, 10)
+    assert mh.avg_dist_dict(["em"], {"em": 0.7, "count": 4}) == {"em": 0.7}
+    out = mh.save_distributed_rows(
+        [{"q": "a"}, {"q": "b"}], str(tmp_path / "preds.jsonl"))
+    assert out is not None
+    lines = open(out).read().strip().split("\n")
+    assert len(lines) == 2 and '"q": "a"' in lines[0]
