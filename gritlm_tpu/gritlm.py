@@ -162,6 +162,9 @@ class GritLM:
         self.params = params
 
         self.projection = None
+        if projection is None and isinstance(params, dict) and "projection" in params:
+            # trained projection head shipped inside the checkpoint
+            self.projection = params.pop("projection")
         if projection is not None:
             kp, kb = jax.random.split(jax.random.PRNGKey(seed + 1))
             lim = (6.0 / (config.hidden_size + projection)) ** 0.5

@@ -116,6 +116,11 @@ def load_checkpoint(
     if with_lm_head and not cfg.tie_word_embeddings:
         if "lm_head.weight" in tensors:
             params["lm_head"] = {"kernel": get("lm_head.weight", True)}
+    if "projection.weight" in tensors:
+        params["projection"] = {
+            "kernel": get("projection.weight", True),
+            "bias": get("projection.bias"),
+        }
     params = _to_jnp(params)
     return cfg, params
 
@@ -167,6 +172,12 @@ def save_checkpoint(
     put("model.norm.weight", params["final_ln"]["scale"])
     if "lm_head" in params:
         put("lm_head.weight", params["lm_head"]["kernel"], True)
+    if "projection" in params:
+        # embedding projection head (trainable; reference keeps it inside the
+        # GritLM module, gritlm/gritlm.py:43-47). Extra keys are ignored by
+        # HF loaders (strict=False) and round-trip through load_checkpoint.
+        put("projection.weight", params["projection"]["kernel"], True)
+        put("projection.bias", params["projection"]["bias"])
 
     # shard
     shards, cur, cur_bytes = [], {}, 0

@@ -34,6 +34,8 @@ def param_partition_specs(params: Dict[str, Any]) -> Dict[str, Any]:
         "embed": {"embedding": P(AXIS_MODEL, AXIS_FSDP)},
         "final_ln": {"scale": P(None)},
     }
+    if "projection" in params:
+        specs["projection"] = {"kernel": P(None, None), "bias": P(None)}
     layers: Dict[str, Any] = {
         "ln1": {"scale": P(None, None)},
         "ln2": {"scale": P(None, None)},

@@ -22,6 +22,7 @@ class RunArguments:
     pooling_method: str = "mean"
     normalized: bool = True
     attn: str = "bbcc"
+    projection: Optional[int] = None  # embedding projection head dim
     dtype: Optional[str] = None  # override checkpoint dtype
 
     # data (reference DataArguments, gritlm/training/arguments.py)

@@ -67,8 +67,19 @@ def main(argv=None) -> dict:
         params = init_params(cfg, jax.random.PRNGKey(args.seed),
                              with_lm_head=(args.mode != "embedding"))
         tokenizer = load_tokenizer(None)
-    logger.info("model: %s (%s), moe=%s", args.model_preset or
-                args.model_name_or_path, cfg.dtype, cfg.is_moe)
+    if args.projection:
+        import jax.numpy as jnp
+
+        kp = jax.random.PRNGKey(args.seed + 1)
+        lim = (6.0 / (cfg.hidden_size + args.projection)) ** 0.5
+        params["projection"] = {
+            "kernel": jax.random.uniform(
+                kp, (cfg.hidden_size, args.projection), jnp.float32, -lim, lim
+            ).astype(cfg.jnp_dtype),
+            "bias": jnp.zeros((args.projection,), cfg.jnp_dtype),
+        }
+    logger.info("model: %s (%s), moe=%s, projection=%s", args.model_preset or
+                args.model_name_or_path, cfg.dtype, cfg.is_moe, args.projection)
 
     # ---- data
     from gritlm_tpu.training.data import filter_too_long_instructions

@@ -100,6 +100,11 @@ def encode_reps(
     if "instruction_lens" in feat:
         pmask = mask_instruction(pmask, feat["instruction_lens"])
     reps = pool(hidden, pmask, tc.pooling_method)
+    if "projection" in params:
+        # trainable projection head on the pooled rep (reference
+        # GritLMTrainModel.encode, gritlm/training/model.py:147-148)
+        pr = params["projection"]
+        reps = reps @ pr["kernel"].astype(reps.dtype) + pr["bias"].astype(reps.dtype)
     if tc.normalized:
         reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12)
     return reps

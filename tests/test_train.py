@@ -131,3 +131,43 @@ def test_sharded_train_step_8dev(setup):
     state, m = run(state, batch)
     assert np.isfinite(float(m.loss))
     assert int(state.step) == 1
+
+
+def test_projection_head_trains_and_roundtrips(tmp_path, setup):
+    """Trainable projection head (reference ModelArguments.projection,
+    gritlm/training/model.py:147-148): gets gradients, survives HF export,
+    and from_pretrained applies it at encode time."""
+    from gritlm_tpu.gritlm import GritLM
+    from gritlm_tpu.models.loader import load_checkpoint, save_checkpoint
+
+    cfg, params, batch = setup
+    params = dict(params)
+    kp = jax.random.PRNGKey(9)
+    params["projection"] = {
+        "kernel": jax.random.normal(kp, (cfg.hidden_size, 32), jnp.float32) * 0.1,
+        "bias": jnp.zeros((32,), jnp.float32),
+    }
+    tc = TrainConfig(mode="embedding", total_steps=4, learning_rate=1e-2,
+                     warmup_ratio=0.0)
+    state = init_train_state(params, tc)
+    step = jax.jit(lambda s, b: train_step(s, b, cfg, tc))
+    state2, m = step(state, batch)
+    state2, m = step(state2, batch)  # step 1 is lr-warmup (lr=0)
+    assert np.isfinite(float(m.loss))
+    # projection actually moved (i.e. got gradients)
+    assert not np.allclose(
+        np.asarray(state2.params["projection"]["kernel"]),
+        np.asarray(params["projection"]["kernel"]),
+    )
+
+    save_checkpoint(str(tmp_path), cfg, jax.device_get(state2.params))
+    cfg2, params2 = load_checkpoint(str(tmp_path))
+    assert "projection" in params2
+    np.testing.assert_allclose(
+        np.asarray(params2["projection"]["kernel"], np.float32),
+        np.asarray(state2.params["projection"]["kernel"], np.float32),
+        rtol=1e-6,
+    )
+    m2 = GritLM(cfg2, params=params2, mode="embedding")
+    emb = m2.encode(["projected embedding"])
+    assert emb.shape == (1, 32)
