@@ -302,6 +302,9 @@ def make_sharded_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):
         return jax.tree_util.tree_unflatten(treedef, shardings)
 
     def shard_state(state: TrainState) -> TrainState:
+        """NOTE: the returned state may alias the input's buffers (device_put
+        reuses shards it can), and step_fn donates its state — don't keep
+        using the pre-shard arrays after the first step."""
         pspecs = param_partition_specs(state.params)
         pshard = jax.tree_util.tree_map(
             lambda s: NamedSharding(mesh, s), pspecs,

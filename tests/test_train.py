@@ -140,8 +140,10 @@ def test_projection_head_trains_and_roundtrips(tmp_path, setup):
     from gritlm_tpu.gritlm import GritLM
     from gritlm_tpu.models.loader import load_checkpoint, save_checkpoint
 
-    cfg, params, batch = setup
-    params = dict(params)
+    cfg, _, batch = setup
+    # fresh params: the sharded-step test above donates its state, and
+    # device_put may alias the module fixture's buffers into it
+    params = init_params(cfg, jax.random.PRNGKey(0))
     kp = jax.random.PRNGKey(9)
     params["projection"] = {
         "kernel": jax.random.normal(kp, (cfg.hidden_size, 32), jnp.float32) * 0.1,
