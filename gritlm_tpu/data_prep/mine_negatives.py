@@ -55,7 +55,7 @@ def mine_hard_negatives(
         own_ids.append(ids)
 
     emb = model.encode(
-        corpus, instruction=passage_instruction, batch_size=batch_size,
+        corpus, instruction=passage_instruction or "", batch_size=batch_size,
         max_length=max_length,
     )
     index = FlatIndex(emb.shape[1], capacity=len(corpus), mesh=mesh)
@@ -63,7 +63,7 @@ def mine_hard_negatives(
 
     q_texts = [_text_of(r["query"]) for r in rows]
     q_emb = np.asarray(model.encode(
-        q_texts, instruction=query_instruction, batch_size=batch_size,
+        q_texts, instruction=query_instruction or "", batch_size=batch_size,
         max_length=max_length,
     ))
 

@@ -162,9 +162,19 @@ class GritLM:
         self.params = params
 
         self.projection = None
-        if projection is None and isinstance(params, dict) and "projection" in params:
-            # trained projection head shipped inside the checkpoint
-            self.projection = params.pop("projection")
+        if isinstance(params, dict) and "projection" in params:
+            trained = params.pop("projection")  # head shipped in the checkpoint
+            if projection is None or trained["kernel"].shape[1] == projection:
+                self.projection = trained
+                projection = None  # trained head wins over a matching request
+            else:
+                import warnings
+
+                warnings.warn(
+                    f"checkpoint has a trained projection head "
+                    f"(dim {trained['kernel'].shape[1]}) but projection="
+                    f"{projection} was requested — using a fresh random head"
+                )
         if projection is not None:
             kp, kb = jax.random.split(jax.random.PRNGKey(seed + 1))
             lim = (6.0 / (config.hidden_size + projection)) ** 0.5
@@ -201,7 +211,7 @@ class GritLM:
     ) -> np.ndarray:
         if isinstance(corpus, dict):
             corpus = [corpus]
-        if isinstance(corpus, list) and isinstance(corpus[0], dict):
+        if isinstance(corpus, list) and corpus and isinstance(corpus[0], dict):
             corpus = [
                 d["title"] + " " + d["text"] if "title" in d else d["text"]
                 for d in corpus

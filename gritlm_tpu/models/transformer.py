@@ -329,9 +329,12 @@ def load_balancing_loss(router_logits: jax.Array, cfg: ModelConfig,
     if padding_mask is not None:
         w = padding_mask.reshape(1, T, 1, 1).astype(jnp.float32)
         tokens = jnp.maximum(jnp.sum(padding_mask), 1.0)
+        # same normalization as the unpadded branch / HF Mixtral
+        # (modeling_mixtral_gritlm.py:135-138): per-expert routed fraction
+        # summed over the k choice slots, masked tokens excluded
         tokens_per_expert = jnp.sum(expert_mask * w, axis=(0, 1, 2)) / (
-            tokens * L * cfg.num_experts_per_tok
-        ) * E  # fraction routed per expert (scaled)
+            tokens * L
+        )
         router_prob = jnp.sum(probs * w[:, :, 0, :], axis=(0, 1)) / (tokens * L)
     else:
         tokens_per_expert = jnp.mean(jnp.sum(expert_mask, axis=2), axis=(0, 1))

@@ -115,7 +115,6 @@ def save_distributed_rows(rows, path: str) -> Optional[str]:
     them into one JSONL at `path` (reference save_distributed_dataset,
     rag/dist_utils.py:113-137). Returns the final path on the coordinator,
     None elsewhere."""
-    import glob
     import json
     import os
 
@@ -128,7 +127,10 @@ def save_distributed_rows(rows, path: str) -> Optional[str]:
     if not is_coordinator():
         return None
     with open(path, "w", encoding="utf-8") as out:
-        for part in sorted(glob.glob(f"{path}.tmp.*")):
+        # numeric rank order, bounded by the live process count (a lexical
+        # glob would scramble >=10 ranks and sweep in stale tmp files)
+        for rank in range(jax.process_count()):
+            part = f"{path}.tmp.{rank}"
             with open(part, encoding="utf-8") as f:
                 out.write(f.read())
             os.remove(part)

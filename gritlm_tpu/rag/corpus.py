@@ -79,7 +79,9 @@ def synthetic_passages(spec: Union[str, int], tokenizer=None) -> List[dict]:
 def limit_passages(
     passages: List[dict], limit: Optional[int] = None, limit_start: int = 0
 ) -> List[dict]:
-    """Range-limit (reference --limit/--limit_start, rag/index.py:202-205)."""
+    """Range-limit. NOTE: `limit` is an absolute END index, not a count —
+    passages[limit_start:limit] — exactly the reference's --limit/--limit_start
+    semantics (rag/index.py:202-205)."""
     if limit is None:
         return passages
     return passages[limit_start:limit]

@@ -185,6 +185,7 @@ class RAGEngine:
                 q_emb, q_cache = self.model.encode_queries(
                     queries, instruction=gritlm_instruction(""),
                     get_cache=True, max_length=self.encode_max_length,
+                    batch_size=B,  # cache capture needs one encode batch
                 )
             else:
                 q_emb = self.model.encode_queries(
@@ -216,7 +217,7 @@ class RAGEngine:
                         else gritlm_instruction(""),
                         add_special_tokens=not after_query,
                         max_length=self.encode_max_length,
-                        get_cache=True,
+                        get_cache=True, batch_size=len(doc_strs),
                     )
                     excluded += time.perf_counter() - te
                     if B == 1:

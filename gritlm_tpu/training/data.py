@@ -317,7 +317,15 @@ def batch_iterator(
     epoch: int = 0,
 ) -> Iterator[Dict[str, Dict[str, np.ndarray]]]:
     rng = np.random.default_rng(seed + 1000003 * epoch)
-    ds_lens = dataset.ds_lens or [len(dataset)]
-    # sampler indexes the primary modality; unified pairing pulls the other
+    ds_lens = list(dataset.ds_lens or [len(dataset)])
+    # unified mode: len(dataset) = max(len_emb, len_gen). When the generative
+    # corpus is larger, cover indices past the embedding range with a virtual
+    # tail segment so every generative row gets sampled (embedding rows for
+    # those indices re-draw randomly in __getitem__ — the behavior of the
+    # reference's default sampler over range(total_len); its custom sampler
+    # silently dropped the generative tail, run.py:333-343)
+    tail = len(dataset) - sum(ds_lens)
+    if tail > 0:
+        ds_lens.append(tail)
     for batch_idx in homogeneous_batches(ds_lens, batch_size, rng):
         yield collator([dataset[i] for i in batch_idx])

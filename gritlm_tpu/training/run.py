@@ -149,9 +149,14 @@ def main(argv=None) -> dict:
                              args.save_total_limit)
     start_step = 0
     if args.resume_from_checkpoint:
-        step = None if args.resume_from_checkpoint == "auto" else None
+        want = None  # "auto" → latest
+        if args.resume_from_checkpoint != "auto":
+            import re
+
+            m = re.search(r"step_(\d+)", args.resume_from_checkpoint)
+            want = int(m.group(1)) if m else None
         if ckpt.latest_step() is not None:
-            state = ckpt.restore(state)
+            state = ckpt.restore(state, step=want)
             start_step = int(jax.device_get(state.step))
             logger.info("resumed from step %d", start_step)
 

@@ -164,3 +164,28 @@ def test_batch_iterator_end_to_end(toy_dirs):
     assert len(batches) >= 7
     for b in batches:
         assert b["query"]["input_ids"].shape == (4, 64)
+
+
+def test_unified_sampler_covers_generative_tail(toy_dirs):
+    """When the generative corpus is larger than the embedding corpus, the
+    batch iterator must still sample generative rows past the embedding
+    range (regression: the tail was silently dropped)."""
+    from gritlm_tpu.tokenizer import ByteTokenizer
+    from gritlm_tpu.training.data import (
+        GritCollator,
+        GritDataset,
+        batch_iterator,
+    )
+
+    emb = [[{"query": f"q{i}", "pos": [f"p{i}"], "neg": [f"n{i}"]}
+            for i in range(4)]]
+    gen = [[{"text": [f"user {i}", f"assistant {i}"]} for i in range(16)]]
+    ds = GritDataset(emb, gen, mode="unified", train_group_size=2)
+    assert len(ds) == 16
+    coll = GritCollator(ByteTokenizer(), query_max_len=16, passage_max_len=16,
+                        generative_max_len=32)
+    n = sum(
+        b["generative"]["input_ids"].shape[0]
+        for b in batch_iterator(ds, coll, batch_size=4, seed=0)
+    )
+    assert n == 16  # all generative rows seen once per epoch

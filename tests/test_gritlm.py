@@ -145,3 +145,9 @@ def test_generate_eos_stops(model):
         if nv[r] < 12:
             assert toks[r, nv[r] - 1] == eos  # last valid token is the EOS
             assert np.all(toks[r, nv[r]:] == pad)
+
+
+def test_encode_corpus_empty():
+    m = GritLM(tiny_mistral(), mode="embedding")
+    out = m.encode_corpus([])
+    assert out.shape == (0, m.config.hidden_size)

@@ -79,3 +79,17 @@ def test_gshard_on_expert_mesh():
     state = shard_state(state)
     state, m = run(state, _toy_batch())
     assert np.isfinite(float(m.loss))
+
+
+def test_aux_loss_allones_mask_matches_unmasked(cfg_moe):
+    """The padded aux-loss branch with an all-ones mask must equal the
+    unpadded branch (HF Mixtral normalization, modeling_mixtral_gritlm.py:
+    116-151) — regression for an extra E/k factor."""
+    from gritlm_tpu.models.transformer import load_balancing_loss
+
+    L, T, E = 2, 12, cfg_moe.num_local_experts
+    logits = jax.random.normal(jax.random.PRNGKey(0), (L, T, E))
+    mask = jnp.ones((3, 4), jnp.int32)  # B*S = T
+    a = float(load_balancing_loss(logits, cfg_moe))
+    b = float(load_balancing_loss(logits, cfg_moe, mask))
+    np.testing.assert_allclose(a, b, rtol=1e-6)
