@@ -345,6 +345,18 @@ class GritLM:
         top_k: int = 0,
         seed: int = 0,
     ) -> GenerateResult:
+        # bucket the prompt length so varied-length prompts reuse compiled
+        # programs (right-padding is handled by position/mask accounting in
+        # generate.py) — same trick as encode's seq_buckets
+        input_ids = np.asarray(input_ids)
+        attention_mask = np.asarray(attention_mask)
+        S = input_ids.shape[1]
+        blen = _bucket(S, self.seq_buckets) if S <= self.seq_buckets[-1] else S
+        if input_ids.shape[1] < blen:
+            padw = blen - input_ids.shape[1]
+            input_ids = np.pad(input_ids, ((0, 0), (0, padw)),
+                               constant_values=self.tokenizer.pad_token_id)
+            attention_mask = np.pad(attention_mask, ((0, 0), (0, padw)))
         if cache is None:
             cache = make_cache_for_prompt(
                 self.config, input_ids.shape[0], input_ids.shape[1], max_new_tokens
