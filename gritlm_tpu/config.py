@@ -60,8 +60,11 @@ class ModelConfig:
         return self.num_local_experts > 0
 
     @classmethod
-    def from_hf_config(cls, path_or_dict) -> "ModelConfig":
-        """Build from an HF config.json path or dict (mistral/mixtral)."""
+    def from_hf_config(cls, path_or_dict, dtype: Optional[str] = None) -> "ModelConfig":
+        """Build from an HF config.json path or dict (mistral/mixtral).
+
+        `dtype` overrides the checkpoint's torch_dtype (e.g. keep 'float16'
+        numerics instead of the TPU-default bfloat16 promotion)."""
         if isinstance(path_or_dict, (str,)):
             with open(path_or_dict) as f:
                 d = json.load(f)
@@ -76,8 +79,23 @@ class ModelConfig:
         kwargs["model_type"] = d.get("model_type", "mistral")
         # HF configs may carry torch dtype strings
         td = d.get("torch_dtype")
-        if td in ("bfloat16", "float32", "float16"):
-            kwargs["dtype"] = "bfloat16" if td == "float16" else td
+        if dtype is not None:
+            kwargs["dtype"] = dtype
+        elif td in ("bfloat16", "float32", "float16"):
+            if td == "float16":
+                # fp16 has 3 more mantissa bits than bf16; TPUs want bf16.
+                # Promote, but say so — pass dtype='float16' to keep fp16.
+                import warnings
+
+                warnings.warn(
+                    "from_hf_config: promoting torch_dtype float16 to "
+                    "bfloat16 (TPU-native). Pass dtype='float16' to keep "
+                    "fp16 numerics.",
+                    stacklevel=2,
+                )
+                kwargs["dtype"] = "bfloat16"
+            else:
+                kwargs["dtype"] = td
         return cls(**kwargs)
 
 

@@ -223,6 +223,10 @@ def save_checkpoint(
         "tie_word_embeddings": cfg.tie_word_embeddings,
         "torch_dtype": cfg.dtype,
     }
+    if cfg.head_dim is not None:
+        # explicit head_dim != hidden/heads must round-trip or the attention
+        # reshape fails on reload (from_hf_config accepts this key)
+        hf_cfg["head_dim"] = cfg.head_dim
     if cfg.is_moe:
         hf_cfg.update(
             num_local_experts=cfg.num_local_experts,

@@ -213,7 +213,8 @@ def _attention_block(
         from gritlm_tpu.ops.ring_attention import ring_attention
 
         out = ring_attention(
-            q, k, v, padding_mask, causal=causal, axis_name=ring_axis
+            q, k, v, padding_mask, causal=causal, axis_name=ring_axis,
+            sliding_window=cfg.sliding_window,
         )
         return out.reshape(B, S, H * Dh) @ _w(p["wo"], x.dtype), (k, v)
 
@@ -412,9 +413,15 @@ def forward(
             mlp_out = _dense_mlp(lp["mlp"], h)
             router_logits = jnp.zeros((0,), jnp.float32)
         x = x + mlp_out
-        out_aux = (new_kv[0], new_kv[1], router_logits) if (
-            cache is not None or output_router_logits
-        ) else (router_logits,)
+        # Only stack what callers will read: K/V [L,B,S,Kv,Dh] when decoding
+        # with a cache, router logits when training asks for them. Emitting
+        # K/V unconditionally would burn HBM on MoE generative training
+        # (output_router_logits=True, no cache) for stacks nobody reads.
+        out_aux = ()
+        if cache is not None:
+            out_aux += (new_kv[0], new_kv[1])
+        if output_router_logits:
+            out_aux += (router_logits,)
         return x, out_aux
 
     if remat:
@@ -430,13 +437,10 @@ def forward(
     new_cache = None
     aux = {}
     if cache is not None:
-        new_k, new_v = ys[0], ys[1]
         new_cache = KVCache(
-            k=new_k, v=new_v, mask=kv_mask, length=cache.length + S
+            k=ys[0], v=ys[1], mask=kv_mask, length=cache.length + S
         )
-        if output_router_logits:
-            aux["router_logits"] = ys[2]
-    elif output_router_logits:
+    if output_router_logits:
         aux["router_logits"] = ys[-1]
     return x, new_cache, aux
 

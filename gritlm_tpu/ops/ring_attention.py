@@ -33,6 +33,7 @@ def _partial_attention(
     kv_mask: Optional[jax.Array],  # [B, Sk]
     *,
     causal: bool,
+    sliding_window: Optional[int],
     q_offset,
     k_offset,
 ) -> Tuple[jax.Array, jax.Array]:
@@ -46,10 +47,10 @@ def _partial_attention(
         from gritlm_tpu.ops.flash_attention import _flash_call
 
         mask = kv_mask if kv_mask is not None else jnp.ones(k.shape[:2], jnp.int32)
-        # the kernel's causal rule is k_pos <= offset + q_row with k at 0;
+        # the kernel's causal/window rule is on offset + q_row vs local k_pos;
         # offset = q_offset − k_offset reproduces the ring shard geometry
         out, lse_str = _flash_call(
-            q, k, v, mask, causal, None,
+            q, k, v, mask, causal, sliding_window if causal else None,
             jnp.asarray(q_offset - k_offset, jnp.int32), with_lse=True,
         )
         lse = lse_str.reshape(b, h, 8, -1)[:, :, 0, :sq].transpose(0, 2, 1)
@@ -68,6 +69,10 @@ def _partial_attention(
         q_pos = q_offset + jnp.arange(sq)
         k_pos = k_offset + jnp.arange(k.shape[1])
         keep &= (k_pos[None, :] <= q_pos[:, None])[None, None, None]
+        if sliding_window is not None:
+            keep &= (k_pos[None, :] > q_pos[:, None] - sliding_window)[
+                None, None, None
+            ]
     s = jnp.where(keep, s, NEG_INF)
     m = jnp.max(s, axis=-1)  # [B, Hkv, G, Sq]
     m_safe = jnp.maximum(m, NEG_INF / 2)
@@ -89,6 +94,7 @@ def ring_attention(
     *,
     causal: bool,
     axis_name: str,
+    sliding_window: Optional[int] = None,
 ) -> jax.Array:
     """Call inside shard_map with the sequence dim sharded over axis_name."""
     p_size = jax.lax.psum(1, axis_name)
@@ -111,7 +117,8 @@ def ring_attention(
         src = (idx - i) % p_size  # which rank's shard we hold this step
         out_i, lse_i = _partial_attention(
             q, k_cur, v_cur, mask_cur,
-            causal=causal, q_offset=q_off, k_offset=src * s_loc,
+            causal=causal, sliding_window=sliding_window,
+            q_offset=q_off, k_offset=src * s_loc,
         )
         m_new = jnp.maximum(m_run, lse_i)
         alpha = jnp.exp(m_run - m_new)  # fully-masked rows: 1, harmless (l=0)

@@ -72,6 +72,19 @@ class CheckpointManager:
 
             shutil.rmtree(self._path(victim), ignore_errors=True)
 
+    def read_extra(self, step: Optional[int] = None) -> Optional[dict]:
+        """Sidecar metadata saved alongside a step (data cursor for resume)."""
+        step = step if step is not None else self.latest_step()
+        if step is None:
+            return None
+        p = os.path.join(self._path(step), "extra.json")
+        if os.path.exists(p):
+            import json
+
+            with open(p) as f:
+                return json.load(f)
+        return None
+
     # ---------------------------------------------------------------- restore
 
     def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:

@@ -315,7 +315,14 @@ def batch_iterator(
     *,
     seed: int = 0,
     epoch: int = 0,
+    skip: int = 0,
 ) -> Iterator[Dict[str, Dict[str, np.ndarray]]]:
+    """`skip` fast-forwards past the first N batches of this epoch (resume):
+    the dataset rows are still drawn (GritDataset.rng is a stream seeded once
+    at construction, so skipped draws must happen for later batches to be
+    byte-identical to an uninterrupted run — cf. the reference's
+    skip_first_batches + RNG-state resume, gradcache_trainer.py:464-508), but
+    tokenization/collation — the actual cost — is skipped."""
     rng = np.random.default_rng(seed + 1000003 * epoch)
     ds_lens = list(dataset.ds_lens or [len(dataset)])
     # unified mode: len(dataset) = max(len_emb, len_gen). When the generative
@@ -327,5 +334,9 @@ def batch_iterator(
     tail = len(dataset) - sum(ds_lens)
     if tail > 0:
         ds_lens.append(tail)
-    for batch_idx in homogeneous_batches(ds_lens, batch_size, rng):
+    for n, batch_idx in enumerate(homogeneous_batches(ds_lens, batch_size, rng)):
+        if n < skip:
+            for i in batch_idx:
+                dataset[i]  # consume the RNG stream, drop the sample
+            continue
         yield collator([dataset[i] for i in batch_idx])

@@ -9,7 +9,7 @@ with Orbax and exports the final model as an HF-safetensors checkpoint.
 Example (toy smoke, CPU 8 devices):
   PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu \\
   XLA_FLAGS=--xla_force_host_platform_device_count=8 \\
-  python -m gritlm_tpu.training.run --train_data tests/toy \\
+  python -m gritlm_tpu.training.run --train_data tests/toy_data \\
       --mode unified --per_device_train_batch_size 2 --max_steps 8 \\
       --mesh_data 2 --mesh_fsdp 2 --mesh_model 2 --output_dir /tmp/run
 """
@@ -93,6 +93,12 @@ def main(argv=None) -> dict:
     n_gen = sum(len(s) for s in gen_sets)
     logger.info("data: %d embedding samples (%d files), %d generative (%d files)",
                 n_emb, len(emb_sets), n_gen, len(gen_sets))
+    if args.mode == "unified" and n_emb == 0 and n_gen > 0:
+        logger.warning(
+            "unified mode but every embedding sample was filtered out "
+            "(instruction+query longer than query_max_len=%d / passage_max_len"
+            "=%d?) — training degrades to generative-only",
+            args.query_max_len, args.passage_max_len)
     with open(os.path.join(args.output_dir, "dataset_num_samples.json"), "w") as f:
         json.dump({"embedding": n_emb, "generative": n_gen}, f)
     dataset = GritDataset(
@@ -148,6 +154,7 @@ def main(argv=None) -> dict:
     ckpt = CheckpointManager(os.path.join(args.output_dir, "checkpoints"),
                              args.save_total_limit)
     start_step = 0
+    start_epoch, skip_batches = 0, 0
     if args.resume_from_checkpoint:
         want = None  # "auto" → latest
         if args.resume_from_checkpoint != "auto":
@@ -158,7 +165,20 @@ def main(argv=None) -> dict:
         if ckpt.latest_step() is not None:
             state = ckpt.restore(state, step=want)
             start_step = int(jax.device_get(state.step))
-            logger.info("resumed from step %d", start_step)
+            # Data-order resume: fast-forward the deterministic batch stream
+            # to where the original run stopped (reference skip_first_batches,
+            # gradcache_trainer.py:464-508). Prefer the exact cursor saved in
+            # extra.json; fall back to steps_per_epoch arithmetic for legacy
+            # checkpoints without one.
+            extra = ckpt.read_extra(want) or {}
+            if "batch_in_epoch" in extra:
+                start_epoch = int(extra.get("epoch", 0))
+                skip_batches = int(extra["batch_in_epoch"])
+            else:
+                start_epoch = start_step // steps_per_epoch
+                skip_batches = start_step % steps_per_epoch
+            logger.info("resumed from step %d (epoch %d, skipping %d batches)",
+                        start_step, start_epoch, skip_batches)
 
     native = None
     if args.native_loader:
@@ -181,37 +201,52 @@ def main(argv=None) -> dict:
             logger.info("native loader: %d emb / %d gen samples",
                         native.n_emb, native.n_gen)
 
-    def batches_for(epoch: int):
+    def batches_for(epoch: int, skip: int = 0):
         if native is not None:
-            return native.epoch(epoch)
+            it = native.epoch(epoch)
+            for _ in range(skip):  # C++ loader: draining skipped batches is cheap
+                if next(it, None) is None:
+                    return iter(())
+            return it
         return batch_iterator(dataset, collator, global_bs,
-                              seed=args.seed, epoch=epoch)
+                              seed=args.seed, epoch=epoch, skip=skip)
 
     mlog = MetricsLogger(args.output_dir, args.logging_steps)
     step = start_step
     done = False
     last = {}
+    epoch, bidx = start_epoch, skip_batches  # cursor if the loop never runs
     for epoch in range(args.num_train_epochs * 50):  # re-iterate if max_steps larger
         if done:
             break
-        for batch in batches_for(epoch):
+        if epoch < start_epoch:
+            # replay fully-consumed epochs' dataset draws so GritDataset.rng
+            # reaches the same state as the uninterrupted run (collation is
+            # skipped inside batch_iterator; native loader reseeds per epoch)
+            if native is None:
+                for _ in batches_for(epoch, skip=10**9):
+                    pass
+            continue
+        bidx = skip_batches if epoch == start_epoch else 0
+        for batch in batches_for(epoch, skip=bidx):
             if step >= total_steps:
                 done = True
                 break
             state, m = run_step(state, batch)
             step += 1
+            bidx += 1
             last = {
                 "loss": float(m.loss), "loss_emb": float(m.loss_emb),
                 "loss_gen": float(m.loss_gen), "grad_norm": float(m.grad_norm),
             }
             mlog.log(step, last)
             if args.save_steps and step % args.save_steps == 0:
-                ckpt.save(state, extra={"epoch": epoch})
+                ckpt.save(state, extra={"epoch": epoch, "batch_in_epoch": bidx})
         if args.max_steps is None and epoch + 1 >= args.num_train_epochs:
             done = True
 
     # ---- final save: orbax + HF export (LoRA: merged into dense weights)
-    ckpt.save(state)
+    ckpt.save(state, extra={"epoch": epoch, "batch_in_epoch": bidx})
     export_dir = os.path.join(args.output_dir, "export")
     if lora_setup is not None:
         from gritlm_tpu.training.lora import merge

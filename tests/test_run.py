@@ -67,6 +67,54 @@ def test_parse_args_types():
 
 
 @pytest.mark.slow
+def test_resume_matches_uninterrupted(tmp_path):
+    """A killed-and-resumed run must consume exactly the batch stream the
+    uninterrupted run would have: final weights bit-identical (deterministic
+    data order + deterministic step). Guards the skip-first-batches resume
+    (reference gradcache_trainer.py:464-508)."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    import jax.numpy as jnp
+
+    from gritlm_tpu.models.loader import load_checkpoint
+    from gritlm_tpu.training.run import main
+
+    rA = main(_args(str(tmp_path / "a"), 6))
+    assert rA["steps"] == 6
+
+    # "kill" run B during step 4 — after the step-3 checkpoint (save_steps=3),
+    # before any later save — then resume with the same max_steps
+    from gritlm_tpu.training.metrics_logger import MetricsLogger
+
+    orig_log = MetricsLogger.log
+
+    def bomb(self, step, metrics):
+        if step >= 4:
+            raise KeyboardInterrupt("simulated kill")
+        return orig_log(self, step, metrics)
+
+    MetricsLogger.log = bomb
+    try:
+        with pytest.raises(KeyboardInterrupt):
+            main(_args(str(tmp_path / "b"), 6))
+    finally:
+        MetricsLogger.log = orig_log
+    rB = main(_args(str(tmp_path / "b"), 6, resume=True))
+    assert rB["steps"] == 6
+
+    _, pa = load_checkpoint(rA["export"])
+    _, pb = load_checkpoint(rB["export"])
+    flat_a = jax.tree_util.tree_leaves_with_path(pa)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(pb))
+    assert flat_a
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(
+            np.asarray(leaf, jnp.float32), np.asarray(flat_b[path], jnp.float32),
+            err_msg=str(path),
+        )
+
+
+@pytest.mark.slow
 def test_run_qlora_smoke(tmp_path):
     """End-to-end QLoRA training run on toy data: int8 frozen base + LoRA
     adapters, merged dense HF export at the end (reference --qlora path)."""
