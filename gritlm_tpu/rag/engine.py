@@ -93,7 +93,11 @@ class RAGEngine:
         self.index = index
         self.max_new_tokens = max_new_tokens
         self.encode_max_length = encode_max_length
-        self._doc_cache: Dict[int, Any] = {}  # doc id → KVCache (host-side)
+        self._doc_cache: Dict[int, Any] = {}  # doc id → KVCache (device memo)
+        # build-time store: (doc id, after_query) → (k, v, width) host numpy
+        # (the reference's doc_map[i]["kv_cache"] + move_cache_to_cpu,
+        # rag/eval.py:124-150)
+        self._doc_store: Dict[Any, Any] = {}
 
     # ------------------------------------------------------------------ build
 
@@ -103,9 +107,13 @@ class RAGEngine:
         batch_size: int = 32,
         capacity: Optional[int] = None,
         mesh=None,
+        cache_docs: bool = False,
+        cache_batch_size: int = 8,
     ) -> FlatIndex:
         """Encode the corpus into a FlatIndex (reference build_index,
-        rag/eval.py:124-150)."""
+        rag/eval.py:124-150). With `cache_docs`, also precompute every
+        passage's KV cache into a host-resident store (the production shape:
+        per-doc caches computed once at build, fetched per hit)."""
         embs = self.model.encode_corpus(
             list(passages),
             batch_size=batch_size,
@@ -114,7 +122,69 @@ class RAGEngine:
         )
         self.index = FlatIndex(embs.shape[1], capacity or len(passages), mesh=mesh)
         self.index.add(embs, list(passages))
+        if cache_docs:
+            self.precompute_all_doc_caches(batch_size=cache_batch_size)
         return self.index
+
+    def precompute_all_doc_caches(
+        self, batch_size: int = 8, after_query: bool = False
+    ) -> None:
+        """Corpus-wide KV-cache precompute (reference rag/eval.py:124-150:
+        build_index(..., cache=True) fills doc_map[i]["kv_cache"], optionally
+        offloaded to CPU). Caches live on host as bf16 numpy, trimmed to each
+        doc's real token length; answer_batch fetches + device_puts on hit
+        for any batch size."""
+        import jax
+
+        n = len(self.index.passages)
+        for start in range(0, n, batch_size):
+            docs = self.index.passages[start : start + batch_size]
+            doc_strs = [
+                (p.get("title", "") + " " + p["text"]).strip() for p in docs
+            ]
+            _, cache = self.model.encode(
+                doc_strs,
+                instruction=("\n" + gritlm_instruction("")) if after_query
+                else gritlm_instruction(""),
+                add_special_tokens=not after_query,
+                max_length=self.encode_max_length,
+                get_cache=True, batch_size=len(doc_strs),
+            )
+            k = np.asarray(jax.device_get(cache.k))  # [L, b, S, Kv, Dh]
+            v = np.asarray(jax.device_get(cache.v))
+            m = np.asarray(jax.device_get(cache.mask))  # [b, S]
+            for i in range(len(docs)):
+                w = int(m[i].sum())  # right-padded → valid prefix
+                self._doc_store[(start + i, after_query)] = (
+                    k[:, i, :w], v[:, i, :w], w
+                )
+
+    def _fetch_doc_caches(self, doc_ids: List[int], after_query: bool):
+        """Stack per-doc host caches into one device KVCache [L,B,W,...]
+        (W = max doc width in the batch; mask marks each row's valid prefix).
+        Returns None unless every hit is in the store."""
+        entries = [self._doc_store.get((d, after_query)) for d in doc_ids]
+        if any(e is None for e in entries):
+            return None
+        import jax
+
+        from gritlm_tpu.models.transformer import KVCache
+
+        B = len(entries)
+        L, _, Kv, Dh = entries[0][0].shape
+        W = max(e[2] for e in entries)
+        k = np.zeros((L, B, W, Kv, Dh), entries[0][0].dtype)
+        v = np.zeros_like(k)
+        mask = np.zeros((B, W), np.int32)
+        for i, (ki, vi, w) in enumerate(entries):
+            k[:, i, :w] = ki
+            v[:, i, :w] = vi
+            mask[i, :w] = 1
+        return KVCache(
+            k=jax.device_put(k), v=jax.device_put(v),
+            mask=jax.device_put(mask),
+            length=jax.device_put(np.int32(W)),
+        )
 
     def precompute_doc_cache(self, doc_id: int, mode: "CacheMode") -> None:
         """Encode one passage with KV capture (production would do this for
@@ -201,7 +271,12 @@ class RAGEngine:
             if mode in (CacheMode.DOC, CacheMode.QUERYDOC, CacheMode.DOCQUERY):
                 after_query = mode == CacheMode.QUERYDOC
                 memo_key = (doc_ids[0], after_query)
-                if B == 1 and memo_key in self._doc_cache:
+                stored = self._fetch_doc_caches(doc_ids, after_query)
+                if stored is not None:
+                    # genuinely precomputed at build time (host store) —
+                    # fetch + device_put counts as serving cost, no exclusion
+                    d_cache = stored
+                elif B == 1 and memo_key in self._doc_cache:
                     # single-query path reuses per-doc caches (the reference
                     # stores them in doc_map at build time, rag/eval.py:137-148)
                     d_cache = self._doc_cache[memo_key]
