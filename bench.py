@@ -1,16 +1,22 @@
-"""Benchmark: GritLM embedding throughput on the local accelerator.
+"""Benchmark: the three GritLM hot paths on the local accelerator.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
-Measures the encode hot path (bidirectional trunk forward + masked mean
-pool + normalize) — the workload behind MTEB/BEIR corpus encoding and RAG
-index build (reference hot loop: gritlm/gritlm.py:92-176 over SDPA attention;
-SURVEY §3.1). The reference publishes no embeds/sec (BASELINE.md), so
-vs_baseline compares against a fixed reference point: an 8x A100 DataParallel
-encoder is roughly compute-bound at ~BATCH*seq tokens/step; we report raw
-embeds/sec/chip and vs_baseline=value/RECORD where RECORD is the best value
-this repo has recorded (BENCH_RECORD.json), so the metric tracks regressions
-across rounds. First run sets the record → vs_baseline 1.0.
+Regression-gates all three hot paths (VERDICT r1 §weak-5):
+  1. encode    — bidirectional trunk forward + masked mean pool + normalize
+                 (MTEB/BEIR corpus encoding, RAG index build; reference hot
+                 loop gritlm/gritlm.py:92-176, SURVEY §3.1)
+  2. decode    — autoregressive generation over a 4k KV-cache bucket with
+                 3000 valid slots (the long-document RAG answer path;
+                 reference rag/eval.py:296-302 over HF generate)
+  3. train     — one unified GRIT step (contrastive + next-token, remat)
+                 (reference GradCacheTrainer step, SURVEY §3.2)
+
+The reference publishes none of these as throughput numbers (BASELINE.md),
+so vs_baseline tracks THIS repo's best recorded value per metric
+(BENCH_RECORD.json): the headline value/vs_baseline is the encode metric
+(continuity with round 1); "extra" carries the other two with their own
+records. First run records → vs 1.0.
 """
 
 from __future__ import annotations
@@ -23,32 +29,34 @@ import numpy as np
 
 RECORD_FILE = os.path.join(os.path.dirname(__file__), "BENCH_RECORD.json")
 
-B = 32  # sequences per step
-S = 512  # tokens per sequence (reference encode default max_length=512)
-STEPS = 10
-WARMUP = 2
+# encode shape: reference encode default max_length=512 (gritlm.py:97)
+ENC_B, ENC_S, ENC_STEPS, ENC_WARMUP = 32, 512, 10, 2
+# decode shape: 4k bucket, 3k-token context, 64 new tokens, batch 8
+DEC_B, DEC_BUCKET, DEC_PROMPT, DEC_STEPS = 8, 4096, 3000, 64
+# train shape: unified step — 8 queries (256) + 16 passages (512) + 8 gen (512)
+TR_QB, TR_QS, TR_PB, TR_PS, TR_GB, TR_GS = 8, 256, 16, 512, 8, 512
+TR_STEPS, TR_WARMUP = 5, 2
 
 
-def main() -> None:
+def _sync(x):
+    """block_until_ready is a no-op through the axon tunnel; a small
+    device→host transfer is the reliable fence."""
+    import jax
+
+    return np.asarray(jax.device_get(x.ravel()[0:1]))
+
+
+def bench_encode(cfg, params):
     import jax
     import jax.numpy as jnp
 
-    os.makedirs("/tmp/gritlm_tpu_jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gritlm_tpu_jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-
-    from __graft_entry__ import _bench_config
-    from gritlm_tpu.models import init_params
     from gritlm_tpu.models.transformer import forward
     from gritlm_tpu.ops.pooling import mask_instruction, pool
 
-    cfg = _bench_config()
-    params = init_params(cfg, jax.random.PRNGKey(0), with_lm_head=False)
-
     rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (B, S)), jnp.int32)
-    mask = jnp.ones((B, S), jnp.int32)
-    instr_lens = jnp.full((B,), 12, jnp.int32)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (ENC_B, ENC_S)), jnp.int32)
+    mask = jnp.ones((ENC_B, ENC_S), jnp.int32)
+    instr_lens = jnp.full((ENC_B,), 12, jnp.int32)
 
     @jax.jit
     def encode_step(params, input_ids, attention_mask, instruction_lens):
@@ -59,52 +67,177 @@ def main() -> None:
         emb = pool(hidden, pmask, "mean")
         return emb / jnp.clip(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
 
-    def sync(x):
-        # block_until_ready is a no-op through the axon tunnel; a small
-        # device→host transfer is the reliable fence
-        return np.asarray(jax.device_get(x[0:1, 0:1]))
-
-    for _ in range(WARMUP):
-        sync(encode_step(params, ids, mask, instr_lens))
+    for _ in range(ENC_WARMUP):
+        _sync(encode_step(params, ids, mask, instr_lens))
     t0 = time.perf_counter()
-    for _ in range(STEPS):
+    for _ in range(ENC_STEPS):
         out = encode_step(params, ids, mask, instr_lens)
-    sync(out)
-    dt = time.perf_counter() - t0
+    _sync(out)
+    return ENC_B * ENC_STEPS / (time.perf_counter() - t0)
 
-    embeds_per_sec = B * STEPS / dt
 
-    record = None
+def bench_decode(cfg, params):
+    import jax
+    import jax.numpy as jnp
+
+    from gritlm_tpu.models.transformer import (
+        forward,
+        init_cache,
+        logits_from_hidden,
+    )
+
+    rng = np.random.default_rng(1)
+    cache = init_cache(cfg, DEC_B, DEC_BUCKET)
+    pids = jnp.asarray(
+        rng.integers(0, cfg.vocab_size, (DEC_B, DEC_PROMPT)), jnp.int32
+    )
+    pmask = jnp.ones((DEC_B, DEC_PROMPT), jnp.int32)
+
+    @jax.jit
+    def prefill(params, ids, mask, cache):
+        _, c, _ = forward(
+            params, cfg, ids, attention_mask=mask, causal=True, cache=cache
+        )
+        return c
+
+    @jax.jit
+    def decode(params, tok, cache):
+        def body(carry, _):
+            tok, cache = carry
+            h, cache, _ = forward(params, cfg, tok[:, None], causal=True,
+                                  cache=cache)
+            logits = logits_from_hidden(params, cfg, h)[:, 0]
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            return (nxt, cache), None
+        (tok, cache), _ = jax.lax.scan(
+            body, (tok, cache), None, length=DEC_STEPS
+        )
+        return tok
+
+    c = prefill(params, pids, pmask, cache)
+    tok0 = jnp.asarray(rng.integers(0, cfg.vocab_size, (DEC_B,)), jnp.int32)
+    _sync(decode(params, tok0, c))
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        out = decode(params, tok0, c)
+    _sync(out)
+    return (time.perf_counter() - t0) / (reps * DEC_STEPS) * 1e3  # ms/token
+
+
+def bench_train(cfg, params):
+    import jax
+    import jax.numpy as jnp
+
+    from gritlm_tpu.training.train import (
+        TrainConfig,
+        init_train_state,
+        train_step,
+    )
+
+    rng = np.random.default_rng(2)
+
+    def feat(b, s, instr=8):
+        return {
+            "input_ids": jnp.asarray(
+                rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32
+            ),
+            "attention_mask": jnp.ones((b, s), jnp.int32),
+            "instruction_lens": jnp.full((b,), instr, jnp.int32),
+        }
+
+    gen_ids = rng.integers(0, cfg.vocab_size, (TR_GB, TR_GS))
+    labels = np.where(
+        rng.uniform(size=(TR_GB, TR_GS)) < 0.75, gen_ids, -100
+    ).astype(np.int32)
+    batch = {
+        "query": feat(TR_QB, TR_QS),
+        "passage": feat(TR_PB, TR_PS),
+        "generative": {
+            "input_ids": jnp.asarray(gen_ids, jnp.int32),
+            "attention_mask": jnp.ones((TR_GB, TR_GS), jnp.int32),
+            "labels": jnp.asarray(labels),
+        },
+    }
+    tokens_per_step = TR_QB * TR_QS + TR_PB * TR_PS + TR_GB * TR_GS
+
+    tc = TrainConfig(mode="unified", total_steps=100, remat=True)
+    state = init_train_state(params, tc)
+    step = jax.jit(lambda s, b: train_step(s, b, cfg, tc), donate_argnums=(0,))
+
+    for _ in range(TR_WARMUP):
+        state, m = step(state, batch)
+    _sync(m.loss)
+    t0 = time.perf_counter()
+    for _ in range(TR_STEPS):
+        state, m = step(state, batch)
+    _sync(m.loss)
+    return tokens_per_step * TR_STEPS / (time.perf_counter() - t0)
+
+
+def main() -> None:
+    import jax
+
+    os.makedirs("/tmp/gritlm_tpu_jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gritlm_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _bench_config
+    from gritlm_tpu.models import init_params
+
+    cfg = _bench_config()
+    params = init_params(cfg, jax.random.PRNGKey(0), with_lm_head=True)
+
+    embeds_per_sec = bench_encode(cfg, params)
+    decode_ms = bench_decode(cfg, params)
+    train_tok_s = bench_train(cfg, params)
+
+    record = {}
     if os.path.exists(RECORD_FILE):
         try:
             with open(RECORD_FILE) as f:
-                record = json.load(f).get("embeds_per_sec")
+                record = json.load(f)
         except Exception:
-            record = None
-    vs = embeds_per_sec / record if record else 1.0
-    if record is None or embeds_per_sec > record:
-        with open(RECORD_FILE, "w") as f:
-            json.dump(
-                {
-                    "embeds_per_sec": embeds_per_sec,
-                    "config": "1B-class bf16",
-                    "batch": B,
-                    "seq": S,
-                    "backend": jax.default_backend(),
-                },
-                f,
-            )
+            record = {}
 
-    print(
-        json.dumps(
-            {
-                "metric": "embeds_per_sec_per_chip_seq512_1b_bf16",
-                "value": round(embeds_per_sec, 2),
-                "unit": "embeds/s",
-                "vs_baseline": round(vs, 4),
-            }
-        )
-    )
+    def ratchet(key, value, higher_is_better=True):
+        best = record.get(key)
+        vs = 1.0
+        if best:
+            vs = value / best if higher_is_better else best / value
+        if best is None or (value > best if higher_is_better else value < best):
+            record[key] = value
+        return round(vs, 4)
+
+    vs_enc = ratchet("embeds_per_sec", embeds_per_sec)
+    vs_dec = ratchet("decode_ms_per_token", decode_ms, higher_is_better=False)
+    vs_tr = ratchet("train_tokens_per_sec", train_tok_s)
+    record.update({
+        "config": "1B-class bf16",
+        "backend": jax.default_backend(),
+        "shapes": {
+            "encode": [ENC_B, ENC_S],
+            "decode": [DEC_B, DEC_BUCKET, DEC_PROMPT],
+            "train": [TR_QB, TR_QS, TR_PB, TR_PS, TR_GB, TR_GS],
+        },
+    })
+    with open(RECORD_FILE, "w") as f:
+        json.dump(record, f, indent=1)
+
+    print(json.dumps({
+        "metric": "embeds_per_sec_per_chip_seq512_1b_bf16",
+        "value": round(embeds_per_sec, 2),
+        "unit": "embeds/s",
+        "vs_baseline": vs_enc,
+        "extra": [
+            {"metric": "decode_ms_per_token_4k_cache_b8_1b_bf16",
+             "value": round(decode_ms, 3), "unit": "ms/token",
+             "vs_baseline": vs_dec},
+            {"metric": "train_tokens_per_sec_unified_1b_bf16",
+             "value": round(train_tok_s, 1), "unit": "tokens/s",
+             "vs_baseline": vs_tr},
+        ],
+    }))
 
 
 if __name__ == "__main__":

@@ -34,7 +34,7 @@ import jax
 import jax.numpy as jnp
 
 from gritlm_tpu.config import ModelConfig
-from gritlm_tpu.ops.attention import multi_head_attention
+from gritlm_tpu.ops.attention import cached_attention, multi_head_attention
 
 # ---------------------------------------------------------------------------
 # Param init
@@ -163,7 +163,11 @@ def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
 
 
 class KVCache(NamedTuple):
-    """Static-shape KV cache. k/v: [L, B, Smax, Kv, Dh]; mask: [B, Smax] marks
+    """Static-shape KV cache. k/v: [L, B, Smax, Kv*Dh] — the head axis is
+    flattened into lanes so decode attention can DMA rows straight out of
+    the full HBM buffer (ops/decode_attention.py) and the per-layer append
+    is a single dynamic_update_slice that XLA performs in place (no
+    stacked-ys copies of the cache per decode step). mask: [B, Smax] marks
     valid key slots (lets RAG concatenate right-padded segment caches, cf.
     reference rag/eval.py:237-295); length: scalar int32 write pointer."""
 
@@ -181,8 +185,8 @@ def init_cache(cfg: ModelConfig, batch: int, max_len: int, dtype=None) -> KVCach
     L, Kv, Dh = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim_
     dt = dtype or cfg.jnp_dtype
     return KVCache(
-        k=jnp.zeros((L, batch, max_len, Kv, Dh), dt),
-        v=jnp.zeros((L, batch, max_len, Kv, Dh), dt),
+        k=jnp.zeros((L, batch, max_len, Kv * Dh), dt),
+        v=jnp.zeros((L, batch, max_len, Kv * Dh), dt),
         mask=jnp.zeros((batch, max_len), jnp.int32),
         length=jnp.zeros((), jnp.int32),
     )
@@ -196,7 +200,10 @@ def _attention_block(
     cfg: ModelConfig,
     *,
     causal: bool,
-    layer_cache: Optional[tuple] = None,  # (k [B,Smax,Kv,Dh], v, kv_mask [B,Smax], offset)
+    # cached decode/prefill: (k_all [L,B,Smax,Kv*Dh], v_all, kv_mask [B,Smax],
+    # offset, layer_idx) — the FULL cache; this layer appends in place and
+    # attends straight off the HBM buffer (no per-layer cache copies)
+    layer_cache: Optional[tuple] = None,
     ring_axis: Optional[str] = None,  # sequence-parallel: mesh axis name
 ):
     B, S, D = x.shape
@@ -219,14 +226,17 @@ def _attention_block(
         return out.reshape(B, S, H * Dh) @ _w(p["wo"], x.dtype), (k, v)
 
     if layer_cache is not None:
-        ck, cv, kv_mask, offset = layer_cache
-        ck = jax.lax.dynamic_update_slice(ck, k.astype(ck.dtype), (0, offset, 0, 0))
-        cv = jax.lax.dynamic_update_slice(cv, v.astype(cv.dtype), (0, offset, 0, 0))
-        out = multi_head_attention(
-            q, ck, cv, kv_mask,
-            causal=causal, sliding_window=cfg.sliding_window, offset=offset,
+        k_all, v_all, kv_mask, offset, lidx = layer_cache
+        k2 = k.reshape(B, S, Kv * Dh).astype(k_all.dtype)[None]
+        v2 = v.reshape(B, S, Kv * Dh).astype(v_all.dtype)[None]
+        k_all = jax.lax.dynamic_update_slice(k_all, k2, (lidx, 0, offset, 0))
+        v_all = jax.lax.dynamic_update_slice(v_all, v2, (lidx, 0, offset, 0))
+        out = cached_attention(
+            q, k_all, v_all, kv_mask,
+            layer=lidx, offset=offset, causal=causal,
+            sliding_window=cfg.sliding_window, num_kv_heads=Kv,
         )
-        new_kv = (ck, cv)
+        new_kv = (k_all, v_all)
     else:
         out = multi_head_attention(
             q, k, v, padding_mask,
@@ -394,13 +404,8 @@ def forward(
         offset = 0
         kv_mask = None
 
-    def layer_fn(carry, layer_params_and_cache):
-        x = carry
-        lp, lc = layer_params_and_cache
+    def _block(x, lp, layer_cache):
         h = rms_norm(x, lp["ln1"]["scale"], cfg.rms_norm_eps)
-        layer_cache = None
-        if cache is not None:
-            layer_cache = (lc[0], lc[1], kv_mask, offset)
         attn_out, new_kv = _attention_block(
             lp["attn"], h, positions, attention_mask, cfg,
             causal=causal, layer_cache=layer_cache,
@@ -412,36 +417,52 @@ def forward(
         else:
             mlp_out = _dense_mlp(lp["mlp"], h)
             router_logits = jnp.zeros((0,), jnp.float32)
-        x = x + mlp_out
-        # Only stack what callers will read: K/V [L,B,S,Kv,Dh] when decoding
-        # with a cache, router logits when training asks for them. Emitting
-        # K/V unconditionally would burn HBM on MoE generative training
-        # (output_router_logits=True, no cache) for stacks nobody reads.
-        out_aux = ()
-        if cache is not None:
-            out_aux += (new_kv[0], new_kv[1])
-        if output_router_logits:
-            out_aux += (router_logits,)
-        return x, out_aux
-
-    if remat:
-        layer_fn = _remat(layer_fn, remat_policy)
-
-    layer_caches = (
-        (cache.k, cache.v) if cache is not None
-        else jnp.zeros((cfg.num_hidden_layers,), jnp.float32)  # dummy xs
-    )
-    x, ys = jax.lax.scan(layer_fn, x, (params["layers"], layer_caches))
-    x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
+        return x + mlp_out, new_kv, router_logits
 
     new_cache = None
     aux = {}
     if cache is not None:
-        new_cache = KVCache(
-            k=ys[0], v=ys[1], mask=kv_mask, length=cache.length + S
+        # The full cache rides the scan CARRY: each layer appends its step
+        # K/V with one dynamic_update_slice (in place — XLA aliases carry
+        # buffers) and attends directly against the full HBM buffer. Never
+        # stack per-layer caches as scan ys: that materializes a whole new
+        # [L,B,Smax,KD] cache per decode step, which dominated decode time.
+        def layer_fn(carry, lp_and_idx):
+            x, k_all, v_all = carry
+            lp, lidx = lp_and_idx
+            x, (k_all, v_all), router_logits = _block(
+                x, lp, (k_all, v_all, kv_mask, offset, lidx)
+            )
+            out_aux = (router_logits,) if output_router_logits else ()
+            return (x, k_all, v_all), out_aux
+
+        if remat:
+            layer_fn = _remat(layer_fn, remat_policy)
+        (x, k_all, v_all), ys = jax.lax.scan(
+            layer_fn,
+            (x, cache.k, cache.v),
+            (params["layers"], jnp.arange(cfg.num_hidden_layers)),
         )
+        new_cache = KVCache(
+            k=k_all, v=v_all, mask=kv_mask, length=cache.length + S
+        )
+    else:
+        def layer_fn(carry, lp):
+            x = carry
+            x, _, router_logits = _block(x, lp, None)
+            # Only stack what callers will read: router logits when training
+            # asks for them. Unconditional ys would burn HBM on stacks
+            # nobody reads.
+            out_aux = (router_logits,) if output_router_logits else ()
+            return x, out_aux
+
+        if remat:
+            layer_fn = _remat(layer_fn, remat_policy)
+        x, ys = jax.lax.scan(layer_fn, x, params["layers"])
+
+    x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
     if output_router_logits:
-        aux["router_logits"] = ys[-1]
+        aux["router_logits"] = ys[0]
     return x, new_cache, aux
 
 

@@ -116,3 +116,51 @@ def multi_head_attention(
         causal=causal, sliding_window=sliding_window, offset=offset,
     )
     return mha_reference(q, k, v, bias)
+
+
+def cached_attention(
+    q: jax.Array,  # [B, Sq, H, Dh]
+    k_all: jax.Array,  # [L, B, Smax, Kv*Dh] — the FULL KV cache
+    v_all: jax.Array,
+    kv_mask: Optional[jax.Array],  # [B, Smax] slot validity
+    *,
+    layer: int | jax.Array,
+    offset: int | jax.Array,
+    causal: bool,
+    sliding_window: Optional[int] = None,
+    num_kv_heads: Optional[int] = None,
+    impl: str = "auto",
+) -> jax.Array:
+    """Attention against one layer of a full HBM-resident KV cache.
+
+    The decode hot path: on TPU with a small query count this runs the
+    Pallas decode kernel, which streams the cache's valid slots straight
+    from the full [L, B, Smax, Kv*Dh] buffer — no per-layer slice, no
+    relayout, no bias materialization. Other geometries slice the layer and
+    take the prefill flash kernel / einsum oracle."""
+    B, Sq, H, Dh = q.shape
+    L, _, Smax, KD = k_all.shape
+    hkv = num_kv_heads if num_kv_heads is not None else KD // Dh
+    if impl == "auto":
+        impl = "flash" if jax.default_backend() == "tpu" else "reference"
+    if impl == "flash" and Sq < 128:
+        from gritlm_tpu.ops.decode_attention import flash_decode
+
+        try:
+            return flash_decode(
+                q, k_all, v_all, kv_mask,
+                causal=causal, sliding_window=sliding_window,
+                offset=offset, layer=layer, num_kv_heads=hkv,
+            )
+        except NotImplementedError:
+            pass
+    # prefill-with-cache / fallback: materialize this layer's slice once
+    lk = jax.lax.dynamic_index_in_dim(k_all, layer, axis=0, keepdims=False)
+    lv = jax.lax.dynamic_index_in_dim(v_all, layer, axis=0, keepdims=False)
+    lk = lk.reshape(B, Smax, hkv, Dh)
+    lv = lv.reshape(B, Smax, hkv, Dh)
+    return multi_head_attention(
+        q, lk, lv, kv_mask,
+        causal=causal, sliding_window=sliding_window, offset=offset,
+        impl=impl,
+    )

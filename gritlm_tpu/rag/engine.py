@@ -150,7 +150,7 @@ class RAGEngine:
                 max_length=self.encode_max_length,
                 get_cache=True, batch_size=len(doc_strs),
             )
-            k = np.asarray(jax.device_get(cache.k))  # [L, b, S, Kv, Dh]
+            k = np.asarray(jax.device_get(cache.k))  # [L, b, S, Kv*Dh]
             v = np.asarray(jax.device_get(cache.v))
             m = np.asarray(jax.device_get(cache.mask))  # [b, S]
             for i in range(len(docs)):
@@ -171,9 +171,9 @@ class RAGEngine:
         from gritlm_tpu.models.transformer import KVCache
 
         B = len(entries)
-        L, _, Kv, Dh = entries[0][0].shape
+        L, _, KD = entries[0][0].shape
         W = max(e[2] for e in entries)
-        k = np.zeros((L, B, W, Kv, Dh), entries[0][0].dtype)
+        k = np.zeros((L, B, W, KD), entries[0][0].dtype)
         v = np.zeros_like(k)
         mask = np.zeros((B, W), np.int32)
         for i, (ki, vi, w) in enumerate(entries):

@@ -66,6 +66,13 @@ class RunArguments:
     mesh_fsdp: int = -1
     mesh_model: int = 1
     mesh_expert: int = 1
+    # pipeline parallelism: GPipe stages over a `stage` axis (dense models;
+    # composes with mesh_data, not with gc_chunks/lora)
+    mesh_stage: int = 1
+    pipeline_microbatches: int = 2
+    # sequence parallelism: shard sequences over all devices (ring attention)
+    # for long-context training; mutually exclusive with the other axes
+    seq_parallel: bool = False
 
     # input pipeline: native C++ loader (byte-tokenizer path; JSONL parse +
     # tokenize + batch pack in a background thread, see native/gritloader.cpp)

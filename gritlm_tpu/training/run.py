@@ -109,11 +109,32 @@ def main(argv=None) -> dict:
     )
 
     # ---- mesh & global batch
-    mesh = make_mesh(MeshConfig(
-        data=args.mesh_data, fsdp=args.mesh_fsdp,
-        model=args.mesh_model, expert=args.mesh_expert,
-    ))
-    dp_ways = mesh.shape["data"] * mesh.shape["fsdp"]
+    step_kind = "gspmd"
+    if args.seq_parallel:
+        # long-context: sequences sharded over every device (ring attention)
+        from gritlm_tpu.parallel.seqpar import make_seq_mesh
+
+        assert args.mesh_stage == 1 and args.mesh_model == 1, (
+            "--seq_parallel is a dedicated 1-D seq mesh; unset the other axes")
+        mesh = make_seq_mesh()
+        dp_ways = 1
+        step_kind = "seqpar"
+    elif args.mesh_stage > 1:
+        mesh = make_mesh(MeshConfig(
+            stage=args.mesh_stage, data=args.mesh_data,
+            fsdp=1 if args.mesh_fsdp == -1 else args.mesh_fsdp,
+            model=args.mesh_model, expert=args.mesh_expert,
+        ))
+        assert mesh.shape["fsdp"] == mesh.shape["model"] == 1, (
+            "pipeline training composes with --mesh_data only (v1)")
+        dp_ways = mesh.shape["data"]
+        step_kind = "pipeline"
+    else:
+        mesh = make_mesh(MeshConfig(
+            data=args.mesh_data, fsdp=args.mesh_fsdp,
+            model=args.mesh_model, expert=args.mesh_expert,
+        ))
+        dp_ways = mesh.shape["data"] * mesh.shape["fsdp"]
     global_bs = args.per_device_train_batch_size * dp_ways
     take_nth = 1
     if args.per_device_generative_bs:
@@ -137,6 +158,9 @@ def main(argv=None) -> dict:
     # ---- state (+ resume)
     lora_setup = None
     if args.lora or args.qlora:
+        assert step_kind == "gspmd", (
+            "lora/qlora training uses the GSPMD step; unset "
+            "--mesh_stage/--seq_parallel")
         from gritlm_tpu.training.lora import make_lora_train_state
 
         run_step, state, frozen_base, lora_scale = make_lora_train_state(
@@ -147,6 +171,18 @@ def main(argv=None) -> dict:
         logger.info("%s training: r=%d alpha=%d (base frozen%s)",
                     "qlora" if args.qlora else "lora", args.lora_r,
                     args.lora_alpha, ", int8" if args.qlora else "")
+    elif step_kind == "pipeline":
+        from gritlm_tpu.training.train import make_pipeline_train_step
+
+        run_step, shard_state = make_pipeline_train_step(
+            mesh, cfg, tc, n_microbatches=args.pipeline_microbatches
+        )
+        state = shard_state(init_train_state(params, tc))
+    elif step_kind == "seqpar":
+        from gritlm_tpu.training.train import make_seqpar_train_step
+
+        run_step, shard_state = make_seqpar_train_step(mesh, cfg, tc)
+        state = shard_state(init_train_state(params, tc))
     else:
         run_step, shard_state = make_sharded_train_step(mesh, cfg, tc)
         state = shard_state(init_train_state(params, tc))

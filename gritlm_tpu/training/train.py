@@ -327,3 +327,218 @@ def make_sharded_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):
         return step_fn(state, batch, cfg, tc)
 
     return run, shard_state
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-parallel and sequence-parallel training steps
+#
+# The GSPMD step above covers dp/fsdp/tp/ep. These two cover the manual
+# shard_map axes: GPipe stages over `stage` (parallel/pipeline.py) and ring-
+# attention sequence sharding over `seq` (parallel/seqpar.py) — both absent
+# in the reference (SURVEY §2.8 PP/SP rows). Backward is plain autodiff
+# through the schedules (ppermute/scan are differentiable).
+
+
+def _apply_updates(opt, state, grads, loss, loss_emb, loss_gen):
+    gnorm = optax.global_norm(grads)
+    updates, new_opt = opt.update(grads, state.opt_state, state.params)
+    new_params = optax.apply_updates(state.params, updates)
+    return (
+        TrainState(state.step + 1, new_params, new_opt),
+        StepMetrics(loss, loss_emb, loss_gen, gnorm),
+    )
+
+
+def make_pipeline_train_step(
+    mesh, cfg: ModelConfig, tc: TrainConfig, n_microbatches: int = 2
+):
+    """Train step with the layer stack pipelined over the mesh's `stage`
+    axis (GPipe microbatches) and the batch split over `data`. Layer params
+    and their optimizer state live stage-sharded; the embedding/head are
+    replicated (tiny). GradCache is not composed with pipelining (gc_chunks
+    must be 1); MoE routing stats are not plumbed through the pipeline."""
+    import functools as _ft
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gritlm_tpu.models.transformer import logits_from_hidden
+    from gritlm_tpu.parallel.mesh import AXIS_DATA, AXIS_STAGE
+    from gritlm_tpu.parallel.pipeline import pipeline_forward
+
+    if cfg.is_moe:
+        raise NotImplementedError("pipeline training: dense models only (v1)")
+    if tc.gc_chunks > 1:
+        raise NotImplementedError("pipeline training does not compose with "
+                                  "GradCache chunking (set gc_chunks=1)")
+    opt = make_optimizer(tc)
+
+    def trunk(params, feat, causal):
+        return pipeline_forward(
+            params, cfg, feat["input_ids"], mesh,
+            attention_mask=feat["attention_mask"], causal=causal,
+            n_microbatches=n_microbatches, remat=tc.remat,
+        )
+
+    def encode(params, feat):
+        hidden = trunk(params, feat, tc.embed_causal)
+        pmask = feat["attention_mask"]
+        if "instruction_lens" in feat:
+            pmask = mask_instruction(pmask, feat["instruction_lens"])
+        reps = pool(hidden, pmask, tc.pooling_method)
+        if tc.normalized:
+            reps = reps / jnp.clip(
+                jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12
+            )
+        return reps
+
+    def full_loss(params, batch):
+        loss_gen = jnp.zeros((), jnp.float32)
+        loss_emb = jnp.zeros((), jnp.float32)
+        if "generative" in batch and tc.mode in ("unified", "generative"):
+            gen = batch["generative"]
+            hidden = trunk(params, gen, True)
+            logits = logits_from_hidden(params, cfg, hidden)
+            loss_gen = next_token_loss(
+                logits, gen["labels"], tc.loss_gen_type, tc.loss_gen_factor
+            )
+        if "query" in batch and tc.mode in ("unified", "embedding"):
+            q = encode(params, batch["query"])
+            p = encode(params, batch["passage"])
+            loss_emb = contrastive_loss(q, p, tc.temperature)
+        return loss_gen + loss_emb, (loss_emb, loss_gen)
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state, batch):
+        (loss, (le, lg)), grads = jax.value_and_grad(
+            full_loss, has_aux=True
+        )(state.params, batch)
+        return _apply_updates(opt, state, grads, loss, le, lg)
+
+    stage_ns = NamedSharding(mesh, P(AXIS_STAGE))
+    repl_ns = NamedSharding(mesh, P())
+    batch_ns = NamedSharding(mesh, P(AXIS_DATA))
+
+    def _param_shardings(params):
+        return {
+            k: jax.tree_util.tree_map(
+                lambda _: stage_ns if k == "layers" else repl_ns, v
+            )
+            for k, v in params.items()
+        }
+
+    def shard_state(state: TrainState) -> TrainState:
+        pshard = _param_shardings(state.params)
+        params = jax.device_put(state.params, pshard)
+
+        def lookup(path):
+            for i, kk in enumerate(path):
+                if getattr(kk, "name", None) in ("mu", "nu"):
+                    node = pshard
+                    try:
+                        for p2 in path[i + 1:]:
+                            node = node[p2.key]
+                    except (KeyError, TypeError, AttributeError):
+                        return repl_ns
+                    return node if isinstance(node, NamedSharding) else repl_ns
+            return repl_ns
+
+        shapes = jax.eval_shape(opt.init, jax.eval_shape(lambda: params))
+        flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+        opt_shardings = jax.tree_util.tree_unflatten(
+            treedef, [lookup(path) for path, _ in flat]
+        )
+        opt_state = jax.jit(opt.init, out_shardings=opt_shardings)(params)
+        return TrainState(jax.device_put(state.step, repl_ns), params, opt_state)
+
+    def run(state, batch):
+        batch = jax.device_put(
+            batch, jax.tree_util.tree_map(lambda _: batch_ns, batch)
+        )
+        return step_fn(state, batch)
+
+    return run, shard_state
+
+
+def make_seqpar_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):
+    """Train step with sequences sharded over the mesh's `seq` axis (exact
+    ring attention). The long-context training mode: activation memory per
+    chip scales with S / n_seq. Params and optimizer state are replicated
+    (combine with FSDP later if the model itself doesn't fit). All batch
+    sequences must divide the seq axis size."""
+    import functools as _ft
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from gritlm_tpu.models.transformer import logits_from_hidden
+    from gritlm_tpu.parallel.seqpar import (
+        SEQ_AXIS,
+        sequence_parallel_forward,
+    )
+
+    if cfg.is_moe:
+        raise NotImplementedError("seqpar training: dense models only (v1)")
+    if tc.gc_chunks > 1:
+        raise NotImplementedError("seqpar training does not compose with "
+                                  "GradCache chunking (set gc_chunks=1)")
+    opt = make_optimizer(tc)
+
+    def encode(params, feat):
+        hidden = sequence_parallel_forward(
+            params, cfg, feat["input_ids"], mesh,
+            attention_mask=feat["attention_mask"], causal=tc.embed_causal,
+            remat=tc.remat,
+        )
+        pmask = feat["attention_mask"]
+        if "instruction_lens" in feat:
+            pmask = mask_instruction(pmask, feat["instruction_lens"])
+        reps = pool(hidden, pmask, tc.pooling_method)
+        if tc.normalized:
+            reps = reps / jnp.clip(
+                jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12
+            )
+        return reps
+
+    def full_loss(params, batch):
+        loss_gen = jnp.zeros((), jnp.float32)
+        loss_emb = jnp.zeros((), jnp.float32)
+        if "generative" in batch and tc.mode in ("unified", "generative"):
+            gen = batch["generative"]
+            hidden = sequence_parallel_forward(
+                params, cfg, gen["input_ids"], mesh,
+                attention_mask=gen["attention_mask"], causal=True,
+                remat=tc.remat,
+            )
+            # logits stay S-sharded under GSPMD; the shifted CE reduces them
+            logits = logits_from_hidden(params, cfg, hidden)
+            loss_gen = next_token_loss(
+                logits, gen["labels"], tc.loss_gen_type, tc.loss_gen_factor
+            )
+        if "query" in batch and tc.mode in ("unified", "embedding"):
+            q = encode(params, batch["query"])
+            p = encode(params, batch["passage"])
+            loss_emb = contrastive_loss(q, p, tc.temperature)
+        return loss_gen + loss_emb, (loss_emb, loss_gen)
+
+    @_ft.partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state, batch):
+        (loss, (le, lg)), grads = jax.value_and_grad(
+            full_loss, has_aux=True
+        )(state.params, batch)
+        return _apply_updates(opt, state, grads, loss, le, lg)
+
+    repl_ns = NamedSharding(mesh, P())
+    seq_ns = NamedSharding(mesh, P(None, SEQ_AXIS))
+
+    def shard_state(state: TrainState) -> TrainState:
+        return jax.device_put(state, repl_ns)
+
+    def run(state, batch):
+        batch = jax.device_put(
+            batch, jax.tree_util.tree_map(
+                lambda x: seq_ns if x.ndim == 2 and x.shape[1] > 1 else repl_ns,
+                batch,
+            )
+        )
+        return step_fn(state, batch)
+
+    return run, shard_state

@@ -82,7 +82,7 @@ def test_bidirectional_cache_capture(cfg, params):
     )
     np.testing.assert_allclose(np.asarray(h0), np.asarray(h1), atol=1e-6)
     assert cache.k.shape == (cfg.num_hidden_layers, 2, 10,
-                             cfg.num_key_value_heads, cfg.head_dim_)
+                             cfg.num_key_value_heads * cfg.head_dim_)
 
 
 def test_remat_matches(cfg, params):
