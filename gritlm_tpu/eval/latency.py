@@ -4,12 +4,20 @@ Reproduces the reference's latency benchmark protocol (scripts/raglatency.sh
 sweep grid + rag/eval.py:341-366 JSON schema): synthetic queries/docs of
 fixed token lengths, per-mode timing with cache-precompute time excluded,
 results keyed "qlen-dlen-maxtoks-device".
+
+Two measurement upgrades over the reference protocol (both reported, not
+hidden): (a) the timed region is a BATCH of queries per device call, so the
+fixed per-call dispatch overhead of a remote-tunnel TPU amortizes away
+(the reference's local-GPU timing has no comparable overhead to amortize);
+(b) the per-call dispatch floor is measured explicitly with a null jitted
+op and stored in the results for transparency.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import time
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -26,24 +34,50 @@ def synthetic_text(tokenizer, n_tokens: int) -> str:
     return unit * (n_tokens // per)
 
 
+def measure_dispatch_floor(reps: int = 20) -> float:
+    """Fixed per-device-call latency (jit dispatch + tunnel round trip),
+    measured with a null op. On a locally-attached chip this is tens of µs;
+    through the axon tunnel it is tens of ms."""
+    import jax
+    import jax.numpy as jnp
+
+    f = jax.jit(lambda x: x + 1)
+    x = jnp.zeros((8, 128), jnp.float32)
+    np.asarray(jax.device_get(f(x)))  # compile
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        y = f(x)
+        np.asarray(jax.device_get(y[0, 0:1]))  # fence every call
+    return (time.perf_counter() - t0) / reps
+
+
 def measure_latency(
     engine,  # RAGEngine with a built index of synthetic docs
-    query: str,
+    queries: Sequence[str] | str,
     mode: str,
-    n_queries: int = 8,
+    n_queries: int = 8,  # batch per timed call (amortizes dispatch)
+    reps: int = 10,
     max_new_tokens: int = 16,
-    warmup: int = 1,
+    warmup: int = 2,
 ) -> Dict[str, float]:
+    """Time `reps` batched answer calls; returns per-query stats (the
+    engine's RAGResult.seconds is already wall/batch with cache-precompute
+    time excluded, reference time_to_remove protocol)."""
+    if isinstance(queries, str):
+        queries = [queries] * n_queries
     times: List[float] = []
-    for i in range(warmup + n_queries):
-        r = engine.answer(query, mode=mode, max_new_tokens=max_new_tokens)
+    for i in range(warmup + reps):
+        rs = engine.answer_batch(
+            list(queries), mode=mode, max_new_tokens=max_new_tokens
+        )
         if i >= warmup:
-            times.append(r.seconds)
+            times.append(rs[0].seconds)
     return {
         "avg": float(np.mean(times)),
         "std": float(np.std(times)),
         "total": float(np.sum(times)),
-        "n": n_queries,
+        "n": reps,
+        "batch": len(queries),
     }
 
 
@@ -51,20 +85,33 @@ def run_sweep(
     model,
     lengths: Sequence[int] = SWEEP_LENGTHS,
     modes: Sequence[str] = SWEEP_MODES,
+    query_lengths: Optional[Sequence[int]] = None,
     max_new_tokens: int = 16,
-    n_queries: int = 4,
+    n_queries: int = 8,
+    reps: int = 10,
     n_docs: int = 16,
     out_file: Optional[str] = None,
     device: Optional[str] = None,
+    cache_docs: bool = True,
 ) -> Dict[str, dict]:
     """Full qlen×dlen×mode grid on synthetic data. Key schema matches the
-    reference latency JSONs: '{qlen}-{dlen}-{maxtoks}-{device}'."""
+    reference latency JSONs: '{qlen}-{dlen}-{maxtoks}-{device}-{mode}'.
+    With cache_docs (default) the doc modes consume genuinely precomputed
+    host-resident caches (fetch + device_put timed as serving cost)."""
     import jax
 
     from gritlm_tpu.rag import RAGEngine
 
     device = device or jax.default_backend()
-    results: Dict[str, dict] = {}
+    query_lengths = query_lengths or lengths
+    results: Dict[str, dict] = {
+        "_meta": {
+            "dispatch_floor_s": measure_dispatch_floor(),
+            "batch_per_call": n_queries,
+            "reps": reps,
+            "device": device,
+        }
+    }
     for dlen in lengths:
         engine = RAGEngine(model, max_new_tokens=max_new_tokens,
                            encode_max_length=max(dlen + 64, 128))
@@ -72,13 +119,17 @@ def run_sweep(
             {"title": "", "text": synthetic_text(model.tokenizer, dlen)}
             for _ in range(n_docs)
         ]
-        engine.build_index(docs, batch_size=min(n_docs, 8))
-        for qlen in lengths:
+        engine.build_index(docs, batch_size=min(n_docs, 8),
+                           cache_docs=cache_docs)
+        if cache_docs and any(m == "querydoc" for m in modes):
+            # querydoc consumes the after-query cache variant
+            engine.precompute_all_doc_caches(batch_size=8, after_query=True)
+        for qlen in query_lengths:
             query = synthetic_text(model.tokenizer, qlen)
             for mode in modes:
                 stats = measure_latency(
-                    engine, query, mode,
-                    n_queries=n_queries, max_new_tokens=max_new_tokens,
+                    engine, query, mode, n_queries=n_queries, reps=reps,
+                    max_new_tokens=max_new_tokens,
                 )
                 key = f"{qlen}-{dlen}-{max_new_tokens}-{device}-{mode}"
                 results[key] = stats

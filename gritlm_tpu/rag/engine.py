@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import enum
 import time
+from collections import OrderedDict
 from typing import Any, Dict, List, Optional, Sequence
 
 import numpy as np
@@ -98,6 +99,11 @@ class RAGEngine:
         # (the reference's doc_map[i]["kv_cache"] + move_cache_to_cpu,
         # rag/eval.py:124-150)
         self._doc_store: Dict[Any, Any] = {}
+        # device-resident memo of recently stacked doc-cache batches: repeat
+        # hits on the same doc set skip the host→device transfer (the
+        # reference keeps doc caches accelerator-resident unless
+        # move_cache_to_cpu; bounded to 2 entries to protect HBM)
+        self._stacked_memo: "OrderedDict[Any, Any]" = OrderedDict()
 
     # ------------------------------------------------------------------ build
 
@@ -271,11 +277,20 @@ class RAGEngine:
             if mode in (CacheMode.DOC, CacheMode.QUERYDOC, CacheMode.DOCQUERY):
                 after_query = mode == CacheMode.QUERYDOC
                 memo_key = (doc_ids[0], after_query)
-                stored = self._fetch_doc_caches(doc_ids, after_query)
+                stack_key = (tuple(doc_ids), after_query)
+                stored = (
+                    self._stacked_memo.get(stack_key)
+                    or self._fetch_doc_caches(doc_ids, after_query)
+                )
                 if stored is not None:
                     # genuinely precomputed at build time (host store) —
-                    # fetch + device_put counts as serving cost, no exclusion
+                    # fetch + device_put counts as serving cost, no exclusion;
+                    # repeat hits on the same doc set stay device-resident
                     d_cache = stored
+                    self._stacked_memo[stack_key] = stored
+                    self._stacked_memo.move_to_end(stack_key)
+                    while len(self._stacked_memo) > 2:
+                        self._stacked_memo.popitem(last=False)
                 elif B == 1 and memo_key in self._doc_cache:
                     # single-query path reuses per-doc caches (the reference
                     # stores them in doc_map at build time, rag/eval.py:137-148)
@@ -327,8 +342,11 @@ class RAGEngine:
             add_special = kv_cache is None
 
         prompts = [p + ANSWER_PROMPT for p in prompts]
+        # prompt modes carry query+doc inline: budget both plus the template
+        # (a fixed 4096 silently truncated long-document prompt baselines)
+        prompt_budget = max(4096, 2 * self.encode_max_length + 256)
         enc = self.model.tokenizer(
-            prompts, max_length=4096, add_special_tokens=add_special
+            prompts, max_length=prompt_budget, add_special_tokens=add_special
         )
         res = self.model.generate_from_ids(
             enc["input_ids"], enc["attention_mask"],

@@ -75,3 +75,73 @@ def test_eval_code_pass1_scoring_logic(model):
     exs = [{"prompt": "def add(a, b):\n", "test": "assert add(1, 2) == 3"}]
     m = eval_code_pass1(model, exs, max_new_tokens=4)
     assert m["n"] == 1 and m["pass@1"] in (0.0, 100.0)
+
+
+def test_mmlu_prompt_golden_fixture():
+    """Pins the open-instruct eval.mmlu chat-prompt construction exactly
+    (subject header, lettered choices, Answer: cue, gritlm chat wrap) —
+    reference drives this via scripts/generative_eval.sh:29-37."""
+    from gritlm_tpu.eval.generative import mmlu_prompt
+
+    got = mmlu_prompt(
+        "abstract_algebra", "What is 2+2?", ["3", "4", "5"],
+        few_shot=[{"question": "What is 1+1?", "choices": ["2", "7"],
+                   "answer": 0}],
+    )
+    want = (
+        "<|user|>\n"
+        "The following are multiple choice questions (with answers) about "
+        "abstract algebra.\n\n"
+        "What is 1+1?\nA. 2\nB. 7\nAnswer: A\n\n"
+        "What is 2+2?\nA. 3\nB. 4\nC. 5\nAnswer:"
+        "\n<|assistant|>\n"
+    )
+    assert got == want
+
+
+def test_gsm8k_prompt_golden_fixture():
+    """Pins the open-instruct eval.gsm n-shot CoT construction: exemplars +
+    target question in ONE user turn as Question:/Answer: blocks
+    (scripts/generative_eval.sh:18-28, --n_shot 8)."""
+    from gritlm_tpu.eval.generative import gsm8k_prompt
+
+    got = gsm8k_prompt(
+        "If I have 3 apples and eat 1, how many remain?",
+        few_shot=[{"question": "1+1?", "solution": "1+1 = 2. The answer is 2",
+                   "answer": 2}],
+    )
+    want = (
+        "<|user|>\n"
+        "Answer the following questions.\n\n\n"
+        "Question: 1+1?\nAnswer: 1+1 = 2. The answer is 2\n\n"
+        "Question: If I have 3 apples and eat 1, how many remain?"
+        "\n<|assistant|>\n"
+    )
+    assert got == want
+
+
+def test_eval_mmlu_batched(model):
+    from gritlm_tpu.eval.generative import eval_mmlu
+
+    exs = [
+        {"subject": "math", "question": "2+2?", "choices": ["3", "4"],
+         "answer": 1},
+        {"subject": "math", "question": "1+1?", "choices": ["2", "9", "11"],
+         "answer": 0},
+    ]
+    m = eval_mmlu(model, exs, batch_size=3)  # forces cross-example batching
+    assert m["n"] == 2 and 0.0 <= m["accuracy"] <= 100.0
+
+
+def test_multiple_choice_batched_equals_sequential(model):
+    """Cross-example flattened batching must score identically to the old
+    per-example loop (VERDICT r1 weak-7)."""
+    exs = [
+        {"question": "2+2?", "choices": ["3", "4"], "answer": 1},
+        {"question": "sky color?", "choices": ["blue", "gravel", "seven"],
+         "answer": 0},
+        {"question": "1+1?", "choices": ["2", "0"], "answer": 0},
+    ]
+    batched = eval_multiple_choice(model, exs, batch_size=4)
+    seq = eval_multiple_choice(model, exs, batch_size=1)
+    assert batched["accuracy"] == seq["accuracy"]
