@@ -334,6 +334,11 @@ class GritLM:
 
     # --------------------------------------------------------------- generate
 
+    def _batch_shards(self) -> int:
+        return int(np.prod([
+            self.mesh.shape[a] for a in self._batch_sharding.spec[0]
+        ]))
+
     def generate_from_ids(
         self,
         input_ids: np.ndarray,
@@ -357,6 +362,46 @@ class GritLM:
             input_ids = np.pad(input_ids, ((0, 0), (0, padw)),
                                constant_values=self.tokenizer.pad_token_id)
             attention_mask = np.pad(attention_mask, ((0, 0), (0, padw)))
+
+        # Multi-chip generation (the decode analogue of the reference's
+        # DataParallel embedding path): rows padded to the mesh's batch-shard
+        # count, prompt + KV cache sharded over (data, fsdp); pad rows decode
+        # garbage that is sliced off below.
+        n_rows = input_ids.shape[0]
+        put_batch = jnp.asarray
+        put_cache = None
+        if self._batch_sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            padr = -n_rows % self._batch_shards()
+            if padr:
+                input_ids = np.pad(input_ids, ((0, padr), (0, 0)),
+                                   constant_values=self.tokenizer.pad_token_id)
+                attention_mask = np.pad(attention_mask, ((0, padr), (0, 0)))
+                attention_mask[n_rows:, 0] = 1  # one live token per pad row
+                if cache is not None:
+                    zk = jnp.zeros(
+                        cache.k.shape[:1] + (padr,) + cache.k.shape[2:],
+                        cache.k.dtype,
+                    )
+                    cache = KVCache(
+                        k=jnp.concatenate([cache.k, zk], axis=1),
+                        v=jnp.concatenate([cache.v, zk], axis=1),
+                        mask=jnp.concatenate(
+                            [cache.mask,
+                             jnp.zeros((padr,) + cache.mask.shape[1:],
+                                       cache.mask.dtype)], axis=0),
+                        length=cache.length,
+                    )
+            batch_axes = self._batch_sharding.spec[0]
+            put_batch = lambda x: jax.device_put(x, self._batch_sharding)
+            put_cache = lambda c: KVCache(
+                k=jax.device_put(c.k, NamedSharding(self.mesh, P(None, batch_axes))),
+                v=jax.device_put(c.v, NamedSharding(self.mesh, P(None, batch_axes))),
+                mask=jax.device_put(c.mask, self._batch_sharding),
+                length=jax.device_put(c.length, NamedSharding(self.mesh, P())),
+            )
+
         if cache is None:
             cache = make_cache_for_prompt(
                 self.config, input_ids.shape[0], input_ids.shape[1], max_new_tokens
@@ -368,13 +413,22 @@ class GritLM:
             want = int(cache.length) + input_ids.shape[1] + max_new_tokens
             if need < want:
                 cache = pad_cache_to(cache, ((want + 127) // 128) * 128)
-        return generate(
+        if put_cache is not None:
+            cache = put_cache(cache)
+        res = generate(
             self.params, self.config,
-            jnp.asarray(input_ids), jnp.asarray(attention_mask), cache,
+            put_batch(jnp.asarray(input_ids)),
+            put_batch(jnp.asarray(attention_mask)), cache,
             jax.random.PRNGKey(seed),
             max_new_tokens=max_new_tokens, temperature=temperature, top_k=top_k,
             eos_id=self.tokenizer.eos_token_id, pad_id=self.tokenizer.pad_token_id,
         )
+        if res.tokens.shape[0] != n_rows:  # drop mesh pad rows
+            res = GenerateResult(
+                tokens=res.tokens[:n_rows], num_valid=res.num_valid[:n_rows],
+                cache=res.cache,
+            )
+        return res
 
     def generate(
         self,
