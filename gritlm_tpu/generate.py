@@ -125,13 +125,22 @@ def generate(
     return GenerateResult(tokens=tokens, num_valid=jnp.sum(valid, axis=1), cache=cache)
 
 
+def align_cache_len(n: int) -> int:
+    """Slot-count alignment: 128 below 1k, else the flash k-block size
+    (1024) — a cache whose Smax is already a k-block multiple is consumed
+    by both the prefill flash kernel and the decode kernel without any
+    re-padding copy (padding a long cache costs a full cache rewrite per
+    layer per call)."""
+    if n <= 1024:
+        return ((n + 127) // 128) * 128
+    return ((n + 1023) // 1024) * 1024
+
+
 def make_cache_for_prompt(
     cfg: ModelConfig, batch: int, prompt_len: int, max_new_tokens: int,
     extra: int = 0, dtype=None,
 ) -> KVCache:
-    total = prompt_len + max_new_tokens + extra
-    # round up to a lane-friendly multiple to limit recompiles across prompts
-    total = ((total + 127) // 128) * 128
+    total = align_cache_len(prompt_len + max_new_tokens + extra)
     return init_cache(cfg, batch, total, dtype=dtype)
 
 

@@ -31,10 +31,12 @@ ATTN_MODES = ("bbcc", "cccc", "bb", "cc")
 
 
 def _bucket(n: int, buckets: Sequence[int]) -> int:
+    """Smallest bucket ≥ n; beyond the largest bucket, round up to the flash
+    k-block size (1024) so cache/attention shapes never need re-padding."""
     for b in buckets:
         if n <= b:
             return b
-    return buckets[-1]
+    return -(-n // 1024) * 1024
 
 
 @functools.partial(
@@ -262,7 +264,8 @@ class GritLM:
             )
             ids, mask = enc["input_ids"], enc["attention_mask"]
             blen = _bucket(ids.shape[1], self.seq_buckets)
-            blen = min(blen, max_length)
+            if blen <= self.seq_buckets[-1]:
+                blen = min(blen, max_length)
             if ids.shape[1] < blen:
                 padw = blen - ids.shape[1]
                 ids = np.pad(ids, ((0, 0), (0, padw)),
@@ -356,7 +359,7 @@ class GritLM:
         input_ids = np.asarray(input_ids)
         attention_mask = np.asarray(attention_mask)
         S = input_ids.shape[1]
-        blen = _bucket(S, self.seq_buckets) if S <= self.seq_buckets[-1] else S
+        blen = _bucket(S, self.seq_buckets)
         if input_ids.shape[1] < blen:
             padw = blen - input_ids.shape[1]
             input_ids = np.pad(input_ids, ((0, 0), (0, padw)),
@@ -407,12 +410,12 @@ class GritLM:
                 self.config, input_ids.shape[0], input_ids.shape[1], max_new_tokens
             )
         else:
-            from gritlm_tpu.generate import pad_cache_to
+            from gritlm_tpu.generate import align_cache_len, pad_cache_to
 
             need = int(cache.k.shape[2])
             want = int(cache.length) + input_ids.shape[1] + max_new_tokens
             if need < want:
-                cache = pad_cache_to(cache, ((want + 127) // 128) * 128)
+                cache = pad_cache_to(cache, align_cache_len(want))
         if put_cache is not None:
             cache = put_cache(cache)
         res = generate(
