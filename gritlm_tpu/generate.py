@@ -138,10 +138,10 @@ def align_cache_len(n: int) -> int:
 
 def make_cache_for_prompt(
     cfg: ModelConfig, batch: int, prompt_len: int, max_new_tokens: int,
-    extra: int = 0, dtype=None,
+    extra: int = 0, dtype=None, quant: bool = False,
 ) -> KVCache:
     total = align_cache_len(prompt_len + max_new_tokens + extra)
-    return init_cache(cfg, batch, total, dtype=dtype)
+    return init_cache(cfg, batch, total, dtype=dtype, quant=quant)
 
 
 def concat_caches(a: KVCache, b: KVCache) -> KVCache:
@@ -150,11 +150,22 @@ def concat_caches(a: KVCache, b: KVCache) -> KVCache:
     docquery RAG modes (rag/eval.py:245-260). Slots beyond each cache's
     `length` are dropped so the result stays dense in slot space."""
     la, lb = int(a.length), int(b.length)
+    assert a.quantized == b.quantized, "cannot concat int8 with bf16 caches"
+    scales = {}
+    if a.quantized:
+        # scales are slot-minor [L, B, Kv, Smax]
+        scales = dict(
+            k_scale=jnp.concatenate(
+                [a.k_scale[..., :la], b.k_scale[..., :lb]], axis=3),
+            v_scale=jnp.concatenate(
+                [a.v_scale[..., :la], b.v_scale[..., :lb]], axis=3),
+        )
     return KVCache(
         k=jnp.concatenate([a.k[:, :, :la], b.k[:, :, :lb]], axis=2),
         v=jnp.concatenate([a.v[:, :, :la], b.v[:, :, :lb]], axis=2),
         mask=jnp.concatenate([a.mask[:, :la], b.mask[:, :lb]], axis=1),
         length=a.length + b.length,
+        **scales,
     )
 
 
@@ -165,6 +176,13 @@ def pad_cache_to(cache: KVCache, total_len: int) -> KVCache:
         return cache
     pad = total_len - cur
     zk = jnp.zeros(cache.k.shape[:2] + (pad,) + cache.k.shape[3:], cache.k.dtype)
+    scales = {}
+    if cache.quantized:
+        zs = jnp.zeros(cache.k_scale.shape[:3] + (pad,), cache.k_scale.dtype)
+        scales = dict(
+            k_scale=jnp.concatenate([cache.k_scale, zs], axis=3),
+            v_scale=jnp.concatenate([cache.v_scale, zs], axis=3),
+        )
     return KVCache(
         k=jnp.concatenate([cache.k, zk], axis=2),
         v=jnp.concatenate([cache.v, zk], axis=2),
@@ -173,4 +191,5 @@ def pad_cache_to(cache: KVCache, total_len: int) -> KVCache:
             axis=1,
         ),
         length=cache.length,
+        **scales,
     )

@@ -69,7 +69,8 @@ def _encode_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "pooling_method", "causal", "normalized", "has_projection", "cache_len"),
+    static_argnames=("cfg", "pooling_method", "causal", "normalized",
+                     "has_projection", "cache_len", "quant"),
 )
 def _encode_step_with_cache(
     params: dict,
@@ -84,8 +85,9 @@ def _encode_step_with_cache(
     normalized: bool,
     has_projection: bool,
     cache_len: int,
+    quant: bool = False,
 ):
-    cache = init_cache(cfg, input_ids.shape[0], cache_len)
+    cache = init_cache(cfg, input_ids.shape[0], cache_len, quant=quant)
     hidden, cache, _ = forward(
         params, cfg, input_ids,
         attention_mask=attention_mask, causal=causal, cache=cache,
@@ -120,6 +122,8 @@ class GritLM:
         seed: int = 0,
         seq_buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048, 4096),
         mesh=None,
+        kv_quant: bool = False,  # int8 KV cache for generation (halves
+        # decode cache bandwidth + doubles cache capacity; opt-in)
     ) -> None:
         if attn is not None and attn not in ATTN_MODES:
             raise ValueError(
@@ -134,6 +138,7 @@ class GritLM:
         self.embed_eos = embed_eos
         self.attn = attn
         self.seq_buckets = tuple(seq_buckets)
+        self.kv_quant = kv_quant
         self.tokenizer = tokenizer or load_tokenizer(None)
 
         key = jax.random.PRNGKey(seed)
@@ -305,14 +310,18 @@ class GritLM:
                 assert all_kv_caches is None, "Can only get cache for one batch"
                 emb, all_kv_caches = _encode_step_with_cache(
                     self.params, self.projection, self.config,
-                    ids_j, mask_j, pmask_j, cache_len=blen, **kw,
+                    ids_j, mask_j, pmask_j, cache_len=blen,
+                    quant=self.kv_quant, **kw,
                 )
                 if all_kv_caches.k.shape[1] != n_rows:  # drop mesh pad rows
+                    c = all_kv_caches
                     all_kv_caches = KVCache(
-                        k=all_kv_caches.k[:, :n_rows],
-                        v=all_kv_caches.v[:, :n_rows],
-                        mask=all_kv_caches.mask[:n_rows],
-                        length=all_kv_caches.length,
+                        k=c.k[:, :n_rows],
+                        v=c.v[:, :n_rows],
+                        mask=c.mask[:n_rows],
+                        length=c.length,
+                        k_scale=c.k_scale[:, :n_rows] if c.quantized else None,
+                        v_scale=c.v_scale[:, :n_rows] if c.quantized else None,
                     )
             else:
                 emb = _encode_step(
@@ -383,31 +392,43 @@ class GritLM:
                 attention_mask = np.pad(attention_mask, ((0, padr), (0, 0)))
                 attention_mask[n_rows:, 0] = 1  # one live token per pad row
                 if cache is not None:
-                    zk = jnp.zeros(
-                        cache.k.shape[:1] + (padr,) + cache.k.shape[2:],
-                        cache.k.dtype,
-                    )
+                    def pad_rows(x):  # row axis 1 for [L,B,...] leaves
+                        return jnp.concatenate(
+                            [x, jnp.zeros(
+                                x.shape[:1] + (padr,) + x.shape[2:], x.dtype
+                            )], axis=1)
+
                     cache = KVCache(
-                        k=jnp.concatenate([cache.k, zk], axis=1),
-                        v=jnp.concatenate([cache.v, zk], axis=1),
+                        k=pad_rows(cache.k),
+                        v=pad_rows(cache.v),
                         mask=jnp.concatenate(
                             [cache.mask,
                              jnp.zeros((padr,) + cache.mask.shape[1:],
                                        cache.mask.dtype)], axis=0),
                         length=cache.length,
+                        k_scale=(pad_rows(cache.k_scale)
+                                 if cache.quantized else None),
+                        v_scale=(pad_rows(cache.v_scale)
+                                 if cache.quantized else None),
                     )
             batch_axes = self._batch_sharding.spec[0]
+            row1 = NamedSharding(self.mesh, P(None, batch_axes))
             put_batch = lambda x: jax.device_put(x, self._batch_sharding)
             put_cache = lambda c: KVCache(
-                k=jax.device_put(c.k, NamedSharding(self.mesh, P(None, batch_axes))),
-                v=jax.device_put(c.v, NamedSharding(self.mesh, P(None, batch_axes))),
+                k=jax.device_put(c.k, row1),
+                v=jax.device_put(c.v, row1),
                 mask=jax.device_put(c.mask, self._batch_sharding),
                 length=jax.device_put(c.length, NamedSharding(self.mesh, P())),
+                k_scale=(jax.device_put(c.k_scale, row1)
+                         if c.quantized else None),
+                v_scale=(jax.device_put(c.v_scale, row1)
+                         if c.quantized else None),
             )
 
         if cache is None:
             cache = make_cache_for_prompt(
-                self.config, input_ids.shape[0], input_ids.shape[1], max_new_tokens
+                self.config, input_ids.shape[0], input_ids.shape[1],
+                max_new_tokens, quant=self.kv_quant,
             )
         else:
             from gritlm_tpu.generate import align_cache_len, pad_cache_to

@@ -169,27 +169,64 @@ class KVCache(NamedTuple):
     is a single dynamic_update_slice that XLA performs in place (no
     stacked-ys copies of the cache per decode step). mask: [B, Smax] marks
     valid key slots (lets RAG concatenate right-padded segment caches, cf.
-    reference rag/eval.py:237-295); length: scalar int32 write pointer."""
+    reference rag/eval.py:237-295); length: scalar int32 write pointer.
+
+    Optional int8 quantization (init_cache(..., quant=True)): k/v stored
+    int8 with per-(layer, row, kv-head, slot) bf16 absmax scales in
+    k_scale/v_scale [L, B, Kv, Smax] (slot-minor so the decode kernel can
+    DMA a [Kv, bk] scale chunk alongside each K/V chunk). Halves the HBM
+    bytes decode must stream per step (the dominant long-context decode
+    cost) and doubles cache capacity; dequantization fuses into the decode
+    kernel's score/prob matrices."""
 
     k: jax.Array
     v: jax.Array
     mask: jax.Array
     length: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
 
     @property
     def max_len(self) -> int:
         return self.k.shape[2]
 
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
 
-def init_cache(cfg: ModelConfig, batch: int, max_len: int, dtype=None) -> KVCache:
+
+def init_cache(
+    cfg: ModelConfig, batch: int, max_len: int, dtype=None, quant: bool = False
+) -> KVCache:
     L, Kv, Dh = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim_
     dt = dtype or cfg.jnp_dtype
+    if quant:
+        return KVCache(
+            k=jnp.zeros((L, batch, max_len, Kv * Dh), jnp.int8),
+            v=jnp.zeros((L, batch, max_len, Kv * Dh), jnp.int8),
+            mask=jnp.zeros((batch, max_len), jnp.int32),
+            length=jnp.zeros((), jnp.int32),
+            k_scale=jnp.zeros((L, batch, Kv, max_len), jnp.bfloat16),
+            v_scale=jnp.zeros((L, batch, Kv, max_len), jnp.bfloat16),
+        )
     return KVCache(
         k=jnp.zeros((L, batch, max_len, Kv * Dh), dt),
         v=jnp.zeros((L, batch, max_len, Kv * Dh), dt),
         mask=jnp.zeros((batch, max_len), jnp.int32),
         length=jnp.zeros((), jnp.int32),
     )
+
+
+def quantize_kv(x: jax.Array) -> tuple:
+    """x [B, S, Kv, Dh] → (int8 [B, S, Kv*Dh], scale bf16 [B, S, Kv])
+    per-(slot, head) absmax quantization."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # [B, S, Kv]
+    scale = jnp.maximum(amax / 127.0, 1e-8)
+    q = jnp.clip(
+        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+    ).astype(jnp.int8)
+    B, S, Kv, Dh = x.shape
+    return q.reshape(B, S, Kv * Dh), scale.astype(jnp.bfloat16)
 
 
 def _attention_block(
@@ -226,17 +263,28 @@ def _attention_block(
         return out.reshape(B, S, H * Dh) @ _w(p["wo"], x.dtype), (k, v)
 
     if layer_cache is not None:
-        k_all, v_all, kv_mask, offset, lidx = layer_cache
-        k2 = k.reshape(B, S, Kv * Dh).astype(k_all.dtype)[None]
-        v2 = v.reshape(B, S, Kv * Dh).astype(v_all.dtype)[None]
+        k_all, v_all, k_sc, v_sc, kv_mask, offset, lidx = layer_cache
+        if k_sc is not None:  # int8 cache: quantize this step's K/V
+            k2, ks2 = quantize_kv(k)
+            v2, vs2 = quantize_kv(v)
+            # scales are slot-minor [L, B, Kv, Smax]
+            k_sc = jax.lax.dynamic_update_slice(
+                k_sc, ks2.transpose(0, 2, 1)[None], (lidx, 0, 0, offset))
+            v_sc = jax.lax.dynamic_update_slice(
+                v_sc, vs2.transpose(0, 2, 1)[None], (lidx, 0, 0, offset))
+            k2, v2 = k2[None], v2[None]
+        else:
+            k2 = k.reshape(B, S, Kv * Dh).astype(k_all.dtype)[None]
+            v2 = v.reshape(B, S, Kv * Dh).astype(v_all.dtype)[None]
         k_all = jax.lax.dynamic_update_slice(k_all, k2, (lidx, 0, offset, 0))
         v_all = jax.lax.dynamic_update_slice(v_all, v2, (lidx, 0, offset, 0))
         out = cached_attention(
             q, k_all, v_all, kv_mask,
+            k_scale=k_sc, v_scale=v_sc,
             layer=lidx, offset=offset, causal=causal,
             sliding_window=cfg.sliding_window, num_kv_heads=Kv,
         )
-        new_kv = (k_all, v_all)
+        new_kv = (k_all, v_all, k_sc, v_sc)
     else:
         out = multi_head_attention(
             q, k, v, padding_mask,
@@ -428,23 +476,24 @@ def forward(
         # stack per-layer caches as scan ys: that materializes a whole new
         # [L,B,Smax,KD] cache per decode step, which dominated decode time.
         def layer_fn(carry, lp_and_idx):
-            x, k_all, v_all = carry
+            x, k_all, v_all, k_sc, v_sc = carry
             lp, lidx = lp_and_idx
-            x, (k_all, v_all), router_logits = _block(
-                x, lp, (k_all, v_all, kv_mask, offset, lidx)
+            x, (k_all, v_all, k_sc, v_sc), router_logits = _block(
+                x, lp, (k_all, v_all, k_sc, v_sc, kv_mask, offset, lidx)
             )
             out_aux = (router_logits,) if output_router_logits else ()
-            return (x, k_all, v_all), out_aux
+            return (x, k_all, v_all, k_sc, v_sc), out_aux
 
         if remat:
             layer_fn = _remat(layer_fn, remat_policy)
-        (x, k_all, v_all), ys = jax.lax.scan(
+        (x, k_all, v_all, k_sc, v_sc), ys = jax.lax.scan(
             layer_fn,
-            (x, cache.k, cache.v),
+            (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
             (params["layers"], jnp.arange(cfg.num_hidden_layers)),
         )
         new_cache = KVCache(
-            k=k_all, v=v_all, mask=kv_mask, length=cache.length + S
+            k=k_all, v=v_all, mask=kv_mask, length=cache.length + S,
+            k_scale=k_sc, v_scale=v_sc,
         )
     else:
         def layer_fn(carry, lp):

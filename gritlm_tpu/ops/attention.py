@@ -129,6 +129,8 @@ def cached_attention(
     causal: bool,
     sliding_window: Optional[int] = None,
     num_kv_heads: Optional[int] = None,
+    k_scale: Optional[jax.Array] = None,  # int8 cache: [L, B, Smax, Kv]
+    v_scale: Optional[jax.Array] = None,
     impl: str = "auto",
 ) -> jax.Array:
     """Attention against one layer of a full HBM-resident KV cache.
@@ -136,8 +138,9 @@ def cached_attention(
     The decode hot path: on TPU with a small query count this runs the
     Pallas decode kernel, which streams the cache's valid slots straight
     from the full [L, B, Smax, Kv*Dh] buffer — no per-layer slice, no
-    relayout, no bias materialization. Other geometries slice the layer and
-    take the prefill flash kernel / einsum oracle."""
+    relayout, no bias materialization; int8 caches dequantize inside the
+    kernel. Other geometries slice the layer and take the prefill flash
+    kernel / einsum oracle."""
     B, Sq, H, Dh = q.shape
     L, _, Smax, KD = k_all.shape
     hkv = num_kv_heads if num_kv_heads is not None else KD // Dh
@@ -151,6 +154,7 @@ def cached_attention(
                 q, k_all, v_all, kv_mask,
                 causal=causal, sliding_window=sliding_window,
                 offset=offset, layer=layer, num_kv_heads=hkv,
+                k_scale=k_scale, v_scale=v_scale,
             )
         except NotImplementedError:
             pass
@@ -159,6 +163,14 @@ def cached_attention(
     lv = jax.lax.dynamic_index_in_dim(v_all, layer, axis=0, keepdims=False)
     lk = lk.reshape(B, Smax, hkv, Dh)
     lv = lv.reshape(B, Smax, hkv, Dh)
+    if k_scale is not None:
+        # scales are slot-minor [L, B, Kv, Smax] → [B, Smax, Kv, 1]
+        ks = jax.lax.dynamic_index_in_dim(k_scale, layer, 0, keepdims=False)
+        vs = jax.lax.dynamic_index_in_dim(v_scale, layer, 0, keepdims=False)
+        ks = ks.transpose(0, 2, 1)[..., None].astype(jnp.float32)
+        vs = vs.transpose(0, 2, 1)[..., None].astype(jnp.float32)
+        lk = (lk.astype(jnp.float32) * ks).astype(q.dtype)
+        lv = (lv.astype(jnp.float32) * vs).astype(q.dtype)
     return multi_head_attention(
         q, lk, lv, kv_mask,
         causal=causal, sliding_window=sliding_window, offset=offset,

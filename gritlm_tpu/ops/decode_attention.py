@@ -61,35 +61,53 @@ def _kernel(
     q_ref,  # [1, HRP, KD] block-diagonal queries
     k_hbm,  # [L, B, Smax, KD] FULL cache keys, HBM-resident (never copied)
     v_hbm,
-    o_ref,  # [1, HRP, KD]
-    k_scr,  # [NBUF, bk, KD] VMEM ring
-    v_scr,
-    sems,  # [NBUF, 2] DMA semaphores
-    *,
+    # quantized variant appends: ks_hbm/vs_hbm [L, B, Kv, Smax] bf16 scales
+    *refs,
     causal: bool,
     sliding_window: Optional[int],
     scale: float,
     bk: int,
-    rows_per_seq: int,  # rows sharing one query position (= GQA group)
-    rows_per_head: int,  # RP: padded rows per kv head
+    group: int,  # query heads per kv head (GQA)
+    n_kv: int,  # kv head count: rows are interleaved (rep, head) so that a
+    # tile-repeat of a [Kv, bk] scale chunk lines up with the score rows
+    scale_reps: int,  # HRP // Kv
+    quant: bool,
 ):
+    if quant:
+        (ks_hbm, vs_hbm, o_ref,
+         k_scr, v_scr, ks_scr, vs_scr, sems) = refs
+    else:
+        o_ref, k_scr, v_scr, sems = refs
+        ks_scr = vs_scr = ks_hbm = vs_hbm = None
     b = pl.program_id(0)
     offset = scal_ref[0]
     lo = scal_ref[1]
     n_valid = scal_ref[2]
     layer = scal_ref[3]
 
-    def kdma(slot, ik):
-        return pltpu.make_async_copy(
-            k_hbm.at[layer, b, pl.ds(ik * bk, bk)],
-            k_scr.at[slot], sems.at[slot, 0],
-        )
-
-    def vdma(slot, ik):
-        return pltpu.make_async_copy(
-            v_hbm.at[layer, b, pl.ds(ik * bk, bk)],
-            v_scr.at[slot], sems.at[slot, 1],
-        )
+    def dmas(slot, ik):
+        out = [
+            pltpu.make_async_copy(
+                k_hbm.at[layer, b, pl.ds(ik * bk, bk)],
+                k_scr.at[slot], sems.at[slot, 0],
+            ),
+            pltpu.make_async_copy(
+                v_hbm.at[layer, b, pl.ds(ik * bk, bk)],
+                v_scr.at[slot], sems.at[slot, 1],
+            ),
+        ]
+        if quant:
+            out += [
+                pltpu.make_async_copy(
+                    ks_hbm.at[layer, b, :, pl.ds(ik * bk, bk)],
+                    ks_scr.at[slot], sems.at[slot, 2],
+                ),
+                pltpu.make_async_copy(
+                    vs_hbm.at[layer, b, :, pl.ds(ik * bk, bk)],
+                    vs_scr.at[slot], sems.at[slot, 3],
+                ),
+            ]
+        return out
 
     o_ref[0] = jnp.zeros_like(o_ref[0])  # masked-empty rows stay finite
 
@@ -99,8 +117,8 @@ def _kernel(
             @pl.when(lo + j < n_valid)
             def _(j=j):
                 slot = jax.lax.rem(lo + j, NBUF)
-                kdma(slot, lo + j).start()
-                vdma(slot, lo + j).start()
+                for d in dmas(slot, lo + j):
+                    d.start()
 
         q = q_ref[0]
 
@@ -111,22 +129,33 @@ def _kernel(
             @pl.when(ik + NBUF - 1 < n_valid)
             def _():
                 ns = jax.lax.rem(ik + NBUF - 1, NBUF)
-                kdma(ns, ik + NBUF - 1).start()
-                vdma(ns, ik + NBUF - 1).start()
+                for d in dmas(ns, ik + NBUF - 1):
+                    d.start()
 
-            kdma(slot, ik).wait()
-            vdma(slot, ik).wait()
+            for d in dmas(slot, ik):
+                d.wait()
 
+            kb = k_scr[slot]
+            if quant:
+                kb = kb.astype(jnp.bfloat16)
             s = jax.lax.dot_general(
-                q, k_scr[slot], (((1,), (1,)), ((), ())),
+                q, kb, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [HRP, bk]
+            if quant:
+                # dequant K on the score matrix: column j of head-h rows
+                # scales by ks[h, j]; rows are head-interleaved so a tile
+                # repeat of [Kv, bk] lines up exactly
+                s = s * pltpu.repeat(
+                    ks_scr[slot].astype(jnp.float32), scale_reps, axis=0
+                )
 
             kmask = mask_ref[0, 0, pl.ds(ik * bk, bk)]
             keep = jnp.broadcast_to(kmask[None, :] > 0, s.shape)
             if causal or sliding_window is not None:
                 row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-                q_pos = offset + (row % rows_per_head) // rows_per_seq
+                # row = rep * n_kv + head; rep = sq * group + g
+                q_pos = offset + (row // n_kv) // group
                 k_pos = ik * bk + jax.lax.broadcasted_iota(
                     jnp.int32, s.shape, 1
                 )
@@ -140,8 +169,18 @@ def _kernel(
             p = jnp.where(keep, jnp.exp(s - m_new), 0.0)
             alpha = jnp.exp(m - m_new)
             l_new = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+            vb = v_scr[slot]
+            if quant:
+                # dequant V by folding vs into the probs: row r only reads
+                # its own head's output lanes, so scaling p[r, k] by
+                # vs[h(r), k] dequantizes exactly those lanes
+                p = p * pltpu.repeat(
+                    vs_scr[slot].astype(jnp.float32), scale_reps, axis=0
+                )
+                vb = vb.astype(jnp.bfloat16)
             acc_new = acc * alpha + jax.lax.dot_general(
-                p.astype(v_scr.dtype), v_scr[slot], (((1,), (0,)), ((), ())),
+                p.astype(jnp.bfloat16 if quant else vb.dtype), vb,
+                (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
             return m_new, l_new, acc_new
@@ -160,44 +199,62 @@ def _kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("causal", "sliding_window", "scale", "bk",
-                     "rows_per_seq", "rows_per_head"),
+                     "group", "n_kv"),
 )
 def _decode_call(
-    qbd: jax.Array,  # [B, HRP, KD] block-diagonal
+    qbd: jax.Array,  # [B, HRP, KD] block-diagonal, head-interleaved rows
     k2: jax.Array,  # [L, B, Smax, KD] full cache
     v2: jax.Array,
     mask: jax.Array,  # [B, Smax] int32
     scalars: jax.Array,  # [4] int32
+    k_scale: Optional[jax.Array] = None,  # [L, B, Kv, Smax] (int8 cache)
+    v_scale: Optional[jax.Array] = None,
     *,
     causal: bool,
     sliding_window: Optional[int],
     scale: float,
     bk: int,
-    rows_per_seq: int,
-    rows_per_head: int,
+    group: int,
+    n_kv: int,
 ):
     B, HRP, KD = qbd.shape
     Smax = k2.shape[2]
+    quant = k_scale is not None
+    in_specs = [
+        pl.BlockSpec((1, 1, Smax), lambda b, s: (b, 0, 0)),
+        pl.BlockSpec((1, HRP, KD), lambda b, s: (b, 0, 0)),
+        pl.BlockSpec(memory_space=pl.ANY),
+        pl.BlockSpec(memory_space=pl.ANY),
+    ]
+    scratch = [
+        pltpu.VMEM((NBUF, bk, KD), k2.dtype),
+        pltpu.VMEM((NBUF, bk, KD), v2.dtype),
+    ]
+    operands = [scalars, mask[:, None, :], qbd, k2, v2]
+    if quant:
+        Kv = k_scale.shape[2]
+        in_specs += [
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ]
+        scratch += [
+            pltpu.VMEM((NBUF, Kv, bk), k_scale.dtype),
+            pltpu.VMEM((NBUF, Kv, bk), v_scale.dtype),
+        ]
+        operands += [k_scale, v_scale]
+    scratch.append(pltpu.SemaphoreType.DMA((NBUF, 4 if quant else 2)))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, 1, Smax), lambda b, s: (b, 0, 0)),
-            pl.BlockSpec((1, HRP, KD), lambda b, s: (b, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, HRP, KD), lambda b, s: (b, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((NBUF, bk, KD), k2.dtype),
-            pltpu.VMEM((NBUF, bk, KD), v2.dtype),
-            pltpu.SemaphoreType.DMA((NBUF, 2)),
-        ],
+        scratch_shapes=scratch,
     )
     kernel = functools.partial(
         _kernel,
         causal=causal, sliding_window=sliding_window, scale=scale,
-        bk=bk, rows_per_seq=rows_per_seq, rows_per_head=rows_per_head,
+        bk=bk, group=group, n_kv=n_kv, scale_reps=HRP // n_kv,
+        quant=quant,
     )
     return pl.pallas_call(
         kernel,
@@ -207,7 +264,7 @@ def _decode_call(
             dimension_semantics=("arbitrary",),
         ),
         interpret=_interpret(),
-    )(scalars, mask[:, None, :], qbd, k2, v2)
+    )(*operands)
 
 
 def _pick_bk(smax: int, kd: int) -> Optional[int]:
@@ -229,10 +286,14 @@ def flash_decode(
     offset: int | jax.Array = 0,
     layer: int | jax.Array = 0,
     num_kv_heads: Optional[int] = None,
+    k_scale: Optional[jax.Array] = None,  # int8 cache: [L, B, Kv, Smax]
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Pallas decode attention over layer `layer` of the full cache. The
     cache is consumed as an unblocked HBM ref — no per-layer slice or
-    relayout is ever materialized. Raises NotImplementedError for geometries
+    relayout is ever materialized. With k_scale/v_scale the cache is int8
+    (models/transformer.init_cache(quant=True)) and dequantization fuses
+    into the score/prob matrices. Raises NotImplementedError for geometries
     the kernel doesn't cover (ops/attention.py falls back to the einsum
     path)."""
     B, Sq, H, Dh = q.shape
@@ -242,9 +303,13 @@ def flash_decode(
     group = H // Hkv
     if KD % 128 != 0:
         raise NotImplementedError(f"decode kernel: Kv*Dh = {KD} not lane-aligned")
-    rows = Sq * group
-    RP = max(8, -(-rows // 8) * 8)  # rows per kv head, sublane-padded
-    HRP = Hkv * RP
+    rows = Sq * group  # reps: one per (sq position, group member)
+    # pad reps so total rows (reps * Hkv) hit an 8-sublane boundary
+    import math as _math
+
+    t = 8 // _math.gcd(Hkv, 8)
+    RP = max(-(-rows // t) * t, t)
+    HRP = RP * Hkv
     if HRP * KD * 4 > MAX_ACC_BYTES:
         raise NotImplementedError("decode kernel: accumulator too large")
     bk = _pick_bk(Smax, KD)
@@ -274,25 +339,27 @@ def flash_decode(
         jnp.asarray(layer, jnp.int32),
     ])
 
-    # q -> block-diagonal rows: row (h, r) holds head h's query in its own
-    # Dh-lane stripe; GQA group heads + Sq steps are the rows of kv head h
-    qh = q.reshape(B, Sq, Hkv, group, Dh).transpose(0, 2, 1, 3, 4)
-    qh = qh.reshape(B, Hkv, rows, Dh)
+    # q -> block-diagonal rows, HEAD-INTERLEAVED: row = rep * Kv + head
+    # (rep = sq * group + g). Row (rep, h) holds head h's query in its own
+    # Dh-lane stripe; the interleaving makes a tile-repeat of a [Kv, *]
+    # scale chunk line up with the rows (int8 dequant).
+    qh = q.reshape(B, Sq, Hkv, group, Dh).transpose(0, 1, 3, 2, 4)
+    qh = qh.reshape(B, rows, Hkv, Dh)
     if rows < RP:
-        qh = jnp.pad(qh, ((0, 0), (0, 0), (0, RP - rows), (0, 0)))
+        qh = jnp.pad(qh, ((0, 0), (0, RP - rows), (0, 0), (0, 0)))
     eye = jnp.eye(Hkv, dtype=qh.dtype)
-    qbd = jnp.einsum("bhrd,hk->bhrkd", qh, eye).reshape(B, HRP, KD)
+    qbd = jnp.einsum("brhd,hk->brhkd", qh, eye).reshape(B, HRP, KD)
 
     obd = _decode_call(
         qbd, k, v,
-        padding_mask, scalars,
+        padding_mask, scalars, k_scale, v_scale,
         causal=causal, sliding_window=sliding_window, scale=Dh ** -0.5,
-        bk=bk, rows_per_seq=group, rows_per_head=RP,
+        bk=bk, group=group, n_kv=Hkv,
     )
 
     # extract each head's lane stripe back out of the block-diagonal output
-    o5 = obd.reshape(B, Hkv, RP, Hkv, Dh)
-    oh = jnp.einsum("bhrkd,hk->bhrd", o5, eye.astype(jnp.float32))
-    oh = oh.astype(obd.dtype)[:, :, :rows]
-    out = oh.reshape(B, Hkv, Sq, group, Dh).transpose(0, 2, 1, 3, 4)
+    o5 = obd.reshape(B, RP, Hkv, Hkv, Dh)
+    oh = jnp.einsum("brhkd,hk->brhd", o5, eye.astype(jnp.float32))
+    oh = oh.astype(obd.dtype)[:, :rows]
+    out = oh.reshape(B, Sq, group, Hkv, Dh).transpose(0, 1, 3, 2, 4)
     return out.reshape(B, Sq, H, Dh)

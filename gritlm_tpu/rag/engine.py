@@ -159,10 +159,16 @@ class RAGEngine:
             k = np.asarray(jax.device_get(cache.k))  # [L, b, S, Kv*Dh]
             v = np.asarray(jax.device_get(cache.v))
             m = np.asarray(jax.device_get(cache.mask))  # [b, S]
+            ks = vs = None
+            if cache.quantized:  # scales are slot-minor [L, b, Kv, S]
+                ks = np.asarray(jax.device_get(cache.k_scale))
+                vs = np.asarray(jax.device_get(cache.v_scale))
             for i in range(len(docs)):
                 w = int(m[i].sum())  # right-padded → valid prefix
                 self._doc_store[(start + i, after_query)] = (
-                    k[:, i, :w], v[:, i, :w], w
+                    k[:, i, :w], v[:, i, :w], w,
+                    None if ks is None else ks[:, i, :, :w],
+                    None if vs is None else vs[:, i, :, :w],
                 )
 
     def _fetch_doc_caches(self, doc_ids: List[int], after_query: bool):
@@ -179,17 +185,28 @@ class RAGEngine:
         B = len(entries)
         L, _, KD = entries[0][0].shape
         W = max(e[2] for e in entries)
+        quant = entries[0][3] is not None
         k = np.zeros((L, B, W, KD), entries[0][0].dtype)
         v = np.zeros_like(k)
         mask = np.zeros((B, W), np.int32)
-        for i, (ki, vi, w) in enumerate(entries):
+        ks = vs = None
+        if quant:
+            Kv = entries[0][3].shape[1]
+            ks = np.zeros((L, B, Kv, W), entries[0][3].dtype)
+            vs = np.zeros_like(ks)
+        for i, (ki, vi, w, ksi, vsi) in enumerate(entries):
             k[:, i, :w] = ki
             v[:, i, :w] = vi
             mask[i, :w] = 1
+            if quant:
+                ks[:, i, :, :w] = ksi
+                vs[:, i, :, :w] = vsi
         return KVCache(
             k=jax.device_put(k), v=jax.device_put(v),
             mask=jax.device_put(mask),
             length=jax.device_put(np.int32(W)),
+            k_scale=None if ks is None else jax.device_put(ks),
+            v_scale=None if vs is None else jax.device_put(vs),
         )
 
     def precompute_doc_cache(self, doc_id: int, mode: "CacheMode") -> None:
@@ -257,19 +274,25 @@ class RAGEngine:
             needs_q_cache = mode in (
                 CacheMode.QUERY, CacheMode.QUERYDOC, CacheMode.DOCQUERY
             )
+            # keep embeddings on device (convert_to_tensor): the search
+            # consumes them directly, so encode→search costs ONE host round
+            # trip (the retrieved ids) instead of two — each round trip is
+            # tens of ms on remote-tunnel runtimes
             if needs_q_cache:
                 q_emb, q_cache = self.model.encode_queries(
                     queries, instruction=gritlm_instruction(""),
                     get_cache=True, max_length=self.encode_max_length,
                     batch_size=B,  # cache capture needs one encode batch
+                    convert_to_tensor=True,
                 )
             else:
                 q_emb = self.model.encode_queries(
                     queries, instruction=gritlm_instruction(""),
                     max_length=self.encode_max_length,
+                    convert_to_tensor=True,
                 )
                 q_cache = None
-            sc, ids = self.index.search(np.atleast_2d(q_emb), k=1)
+            sc, ids = self.index.search(q_emb, k=1)
             doc_ids = [int(i) for i in ids[:, 0]]
             passages = [[self.index.passages[d]] for d in doc_ids]
             scores = [[float(s)] for s in sc[:, 0]]

@@ -75,7 +75,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="synthetic query token length")
     p.add_argument("--customd", default=None, type=str,
                    help="synthetic doc token length")
-    p.add_argument("--n_latency_queries", default=4, type=int)
+    p.add_argument("--n_latency_queries", default=4, type=int,
+                   help="batch size per timed answer call")
+    p.add_argument("--latency_reps", default=10, type=int,
+                   help="timed batched calls per cell")
     p.add_argument("--idxdtype", default="float32", type=str)
     return p
 
@@ -205,6 +208,7 @@ def main(argv=None) -> dict:
             stats = measure_latency(
                 engine, query, _mode_for(args),
                 n_queries=args.n_latency_queries,
+                reps=args.latency_reps,
                 max_new_tokens=args.max_new_tokens,
             )
             stats.update(q_len=args.customq, d_len=args.customd)

@@ -58,10 +58,10 @@ def test_rag_eval_cli_latency(tmp_path):
         "--model_preset", "tiny_mistral", "--latency",
         "--customq", "16", "--customd", "32", "--cache", "doc",
         "--max_new_tokens", "2", "--n_latency_queries", "2",
-        "--save_dir", str(tmp_path),
+        "--latency_reps", "2", "--save_dir", str(tmp_path),
     ])
     (tag, stats), = res.items()
-    assert stats["n"] == 2 and stats["avg"] > 0
+    assert stats["n"] == 2 and stats["batch"] == 2 and stats["avg"] > 0
     latency_file = tmp_path / f"{tag}-latency.json"
     data = json.loads(latency_file.read_text())
     import jax
