@@ -76,7 +76,7 @@ def bench_encode(cfg, params):
     return ENC_B * ENC_STEPS / (time.perf_counter() - t0)
 
 
-def bench_decode(cfg, params):
+def bench_decode(cfg, params, quant: bool = False, weight_quant: bool = False):
     import jax
     import jax.numpy as jnp
 
@@ -86,8 +86,12 @@ def bench_decode(cfg, params):
         logits_from_hidden,
     )
 
+    if weight_quant:
+        from gritlm_tpu.training.quant import quantize_for_serving
+
+        params = quantize_for_serving(params)
     rng = np.random.default_rng(1)
-    cache = init_cache(cfg, DEC_B, DEC_BUCKET)
+    cache = init_cache(cfg, DEC_B, DEC_BUCKET, quant=quant)
     pids = jnp.asarray(
         rng.integers(0, cfg.vocab_size, (DEC_B, DEC_PROMPT)), jnp.int32
     )
@@ -190,6 +194,8 @@ def main() -> None:
 
     embeds_per_sec = bench_encode(cfg, params)
     decode_ms = bench_decode(cfg, params)
+    decode_ms_q8 = bench_decode(cfg, params, quant=True)
+    decode_ms_w8 = bench_decode(cfg, params, quant=True, weight_quant=True)
     train_tok_s = bench_train(cfg, params)
 
     record = {}
@@ -211,6 +217,10 @@ def main() -> None:
 
     vs_enc = ratchet("embeds_per_sec", embeds_per_sec)
     vs_dec = ratchet("decode_ms_per_token", decode_ms, higher_is_better=False)
+    vs_dq8 = ratchet("decode_ms_per_token_int8kv", decode_ms_q8,
+                     higher_is_better=False)
+    vs_dw8 = ratchet("decode_ms_per_token_int8w_int8kv", decode_ms_w8,
+                     higher_is_better=False)
     vs_tr = ratchet("train_tokens_per_sec", train_tok_s)
     record.update({
         "config": "1B-class bf16",
@@ -233,6 +243,12 @@ def main() -> None:
             {"metric": "decode_ms_per_token_4k_cache_b8_1b_bf16",
              "value": round(decode_ms, 3), "unit": "ms/token",
              "vs_baseline": vs_dec},
+            {"metric": "decode_ms_per_token_4k_cache_b8_1b_int8kv",
+             "value": round(decode_ms_q8, 3), "unit": "ms/token",
+             "vs_baseline": vs_dq8},
+            {"metric": "decode_ms_per_token_4k_cache_b8_1b_int8w_int8kv",
+             "value": round(decode_ms_w8, 3), "unit": "ms/token",
+             "vs_baseline": vs_dw8},
             {"metric": "train_tokens_per_sec_unified_1b_bf16",
              "value": round(train_tok_s, 1), "unit": "tokens/s",
              "vs_baseline": vs_tr},

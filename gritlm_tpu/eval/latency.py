@@ -75,6 +75,11 @@ def measure_latency(
     return {
         "avg": float(np.mean(times)),
         "std": float(np.std(times)),
+        # p50/min are robust to a one-off mid-measurement recompile (a
+        # single stale-shape hit can put one rep 100x out; the reference
+        # schema has avg/std only)
+        "p50": float(np.median(times)),
+        "min": float(np.min(times)),
         "total": float(np.sum(times)),
         "n": reps,
         "batch": len(queries),
@@ -112,7 +117,11 @@ def run_sweep(
             "device": device,
         }
     }
+    import logging
+
+    logger = logging.getLogger(__name__)
     for dlen in lengths:
+        logger.info("sweep: building index, dlen=%d (%d docs)", dlen, n_docs)
         engine = RAGEngine(model, max_new_tokens=max_new_tokens,
                            encode_max_length=max(dlen + 64, 128))
         docs = [
@@ -133,6 +142,7 @@ def run_sweep(
                 )
                 key = f"{qlen}-{dlen}-{max_new_tokens}-{device}-{mode}"
                 results[key] = stats
+                logger.info("sweep: %s avg=%.4fs", key, stats["avg"])
                 if out_file:
                     os.makedirs(os.path.dirname(out_file) or ".", exist_ok=True)
                     with open(out_file, "w") as f:

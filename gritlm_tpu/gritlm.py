@@ -124,6 +124,8 @@ class GritLM:
         mesh=None,
         kv_quant: bool = False,  # int8 KV cache for generation (halves
         # decode cache bandwidth + doubles cache capacity; opt-in)
+        weight_quant: bool = False,  # w8a16 serving: int8 weights + lm head
+        # (halves the per-decode-step parameter stream; opt-in)
     ) -> None:
         if attn is not None and attn not in ATTN_MODES:
             raise ValueError(
@@ -144,6 +146,11 @@ class GritLM:
         key = jax.random.PRNGKey(seed)
         if params is None:
             params = init_params(config, key, with_lm_head=(mode != "embedding"))
+        if weight_quant:
+            from gritlm_tpu.training.quant import quantize_for_serving
+
+            # layer kernels + lm head only; embed/projection stay dense
+            params = quantize_for_serving(params)
 
         # Multi-chip inference (the reference's DataParallel embedding path,
         # gritlm/gritlm.py:71-75, SURVEY §2.8 row 1): params sharded per the

@@ -556,7 +556,7 @@ def apply_layer_stack(
 
 def logits_from_hidden(params: dict, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
     if "lm_head" in params:
-        kernel = params["lm_head"]["kernel"]
+        kernel = _w(params["lm_head"]["kernel"], hidden.dtype)
     elif cfg.tie_word_embeddings:
         kernel = params["embed"]["embedding"].T
     else:

@@ -63,7 +63,28 @@ def param_partition_specs(params: Dict[str, Any]) -> Dict[str, Any]:
     specs["layers"] = layers
     if "lm_head" in params:
         specs["lm_head"] = {"kernel": P(AXIS_FSDP, AXIS_MODEL)}
-    return specs
+    return _with_quant_leaves(specs, params)
+
+
+def _with_quant_leaves(spec_node: Any, param_node: Any) -> Any:
+    """Expand kernel specs where the param leaf is an int8 serving/QLoRA
+    leaf ({"q8", "scale"}, training/quant.py): q8 keeps the kernel's spec;
+    the per-output-channel scale [..., 1, out] drops the contracting axis."""
+    from gritlm_tpu.training.quant import is_quantized_leaf
+
+    if is_quantized_leaf(param_node):
+        s = tuple(spec_node)
+        scale_spec = (
+            P(*(s[:-2] + (None,) + s[-1:])) if len(s) >= 2 else P(None, None)
+        )
+        return {"q8": spec_node, "scale": scale_spec}
+    if isinstance(param_node, dict) and isinstance(spec_node, dict):
+        return {
+            k: _with_quant_leaves(spec_node[k], v) if k in spec_node else spec_node.get(k)
+            for k, v in param_node.items()
+            if k in spec_node
+        }
+    return spec_node
 
 
 def param_shardings(mesh: Mesh, params: Dict[str, Any]) -> Dict[str, Any]:

@@ -156,13 +156,18 @@ class RAGEngine:
                 max_length=self.encode_max_length,
                 get_cache=True, batch_size=len(doc_strs),
             )
-            k = np.asarray(jax.device_get(cache.k))  # [L, b, S, Kv*Dh]
-            v = np.asarray(jax.device_get(cache.v))
             m = np.asarray(jax.device_get(cache.mask))  # [b, S]
+            # slice to the batch's max valid width ON DEVICE before the
+            # device→host pull: right-padded caches waste up to a full
+            # bucket of transfer otherwise (the pull is the build-time cost
+            # on remote-tunnel runtimes)
+            wmax = max(1, int(m.sum(axis=1).max()))
+            k = np.asarray(jax.device_get(cache.k[:, :, :wmax]))
+            v = np.asarray(jax.device_get(cache.v[:, :, :wmax]))
             ks = vs = None
             if cache.quantized:  # scales are slot-minor [L, b, Kv, S]
-                ks = np.asarray(jax.device_get(cache.k_scale))
-                vs = np.asarray(jax.device_get(cache.v_scale))
+                ks = np.asarray(jax.device_get(cache.k_scale[..., :wmax]))
+                vs = np.asarray(jax.device_get(cache.v_scale[..., :wmax]))
             for i in range(len(docs)):
                 w = int(m[i].sum())  # right-padded → valid prefix
                 self._doc_store[(start + i, after_query)] = (

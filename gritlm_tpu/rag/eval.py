@@ -80,6 +80,11 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--latency_reps", default=10, type=int,
                    help="timed batched calls per cell")
     p.add_argument("--idxdtype", default="float32", type=str)
+    p.add_argument("--kv_quant", action="store_true",
+                   help="int8 KV caches (halves decode cache bandwidth and "
+                        "doc-cache store size)")
+    p.add_argument("--weight_quant", action="store_true",
+                   help="w8a16 serving: int8 weights + lm head")
     return p
 
 
@@ -87,7 +92,8 @@ def _load_model(args):
     from gritlm_tpu import GritLM
 
     kwargs = dict(mode="unified", pooling_method=args.pooling_method,
-                  attn=args.attn)
+                  attn=args.attn, kv_quant=args.kv_quant,
+                  weight_quant=args.weight_quant)
     if args.model_name_or_path:
         return GritLM.from_pretrained(args.model_name_or_path, **kwargs)
     if args.model_preset:

@@ -55,6 +55,24 @@ def quantize_tree(
     return walk(params, ())
 
 
+def quantize_for_serving(
+    params: dict,
+    targets: Sequence[str] = DEFAULT_TARGETS,
+    quantize_lm_head: bool = True,
+) -> dict:
+    """w8a16 inference quantization: every stacked layer kernel plus (by
+    default) the LM head becomes an int8 leaf. Decode is weight-bandwidth
+    bound (each step streams every parameter once); int8 halves that
+    traffic — the serving analogue of the reference's bitsandbytes load
+    path. Dequantization fuses into the consuming matmul inside the layer
+    scan (models/transformer._w / logits_from_hidden)."""
+    out = quantize_tree(params, targets)
+    if quantize_lm_head and "lm_head" in out:
+        out = dict(out)
+        out["lm_head"] = {"kernel": quantize_kernel(out["lm_head"]["kernel"])}
+    return out
+
+
 def dequantize_tree(params: dict, dtype=jnp.bfloat16) -> dict:
     """Inverse of quantize_tree (export path: qlora merge → HF bf16)."""
 

@@ -1,0 +1,97 @@
+"""Long-document RAG latency sweep on the real TPU chip.
+
+Reference protocol (scripts/raglatency.sh + rag/eval.py:341-366) with the
+two measurement upgrades documented in eval/latency.py: batched timed calls
+(amortizes the remote-tunnel dispatch floor) and an explicitly measured
+dispatch floor. Extends the grid to 8k-token documents (reference sweeps
+stop at 4000) to demonstrate the >60% caching claim (reference README.md:46)
+in the long-document regime it applies to.
+
+Run:  python scripts/latency_sweep_tpu.py [out.json]
+"""
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import logging
+
+    logging.basicConfig(level=logging.INFO)
+    out_file = sys.argv[1] if len(sys.argv) > 1 else "docs/latency_v5e_1b.json"
+
+    import jax
+
+    os.makedirs("/tmp/gritlm_tpu_jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gritlm_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from __graft_entry__ import _bench_config
+    from gritlm_tpu import GritLM
+    from gritlm_tpu.eval.latency import run_sweep
+
+    cfg = _bench_config()
+    # buckets up to 8k+headroom so long docs/prompts hit compiled shapes
+    model = GritLM(
+        cfg, mode="unified", attn="bbcc",
+        seq_buckets=(256, 1024, 2048, 4096, 8192, 9216),
+    )
+
+    results = {}
+    if os.path.exists(out_file):  # merge into the existing grid
+        with open(out_file) as f:
+            results = json.load(f)
+        results.pop("_meta", None)  # refresh meta from this run
+    # (dlen list, qlen list, batch, modes, n_docs) — batch 4 / no querydoc
+    # at 8k keeps the B×9k decode cache + memoized doc caches + params
+    # inside one v5e's 16GB HBM
+    all_modes = ("prompt_query_doc", "query", "doc", "querydoc", "docquery")
+    plan = [
+        ((2000, 4000), (1000, 4000), 8, all_modes, 16),
+        ((8000,), (1000, 4000), 4,
+         ("prompt_query_doc", "query", "doc", "docquery"), 8),
+    ]
+    for lengths, qlens, batch, modes, n_docs in plan:
+        r = run_sweep(
+            model,
+            lengths=lengths,
+            query_lengths=qlens,
+            modes=modes,
+            max_new_tokens=16,
+            n_queries=batch,
+            reps=10,
+            n_docs=n_docs,
+            out_file=None,
+            cache_docs=True,
+        )
+        meta = r.pop("_meta")
+        results.setdefault("_meta", meta)
+        results.update(r)
+        with open(out_file, "w") as f:
+            json.dump(results, f, indent=1)
+        print(f"wrote {len(results) - 1} cells → {out_file}", flush=True)
+
+    # savings table vs the no-cache prompt mode (p50: robust to one-off
+    # recompiles)
+    print(f"\ndispatch floor: {results['_meta']['dispatch_floor_s'] * 1e3:.1f} ms/call")
+    print(f"{'q/d':>10} {'prompt s':>9} {'query':>7} {'doc':>7} {'docquery':>9}")
+    for q in (1000, 4000):
+        for d in (2000, 4000, 8000):
+            base = results.get(f"{q}-{d}-16-tpu-prompt_query_doc")
+            if not base:
+                continue
+            row = [f"{q}/{d:>5}", f"{base['p50']:9.3f}"]
+            for m in ("query", "doc", "docquery"):
+                cell = results.get(f"{q}-{d}-16-tpu-{m}")
+                row.append(
+                    f"{(cell['p50'] / base['p50'] - 1) * 100:+6.1f}%"
+                    if cell else "      -"
+                )
+            print(" ".join(row))
+
+
+if __name__ == "__main__":
+    main()

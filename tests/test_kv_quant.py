@@ -127,3 +127,27 @@ def test_concat_and_pad_quant_caches(cfg, params):
     padded = pad_cache_to(cat, 32)
     assert padded.k.shape[2] == 32 and padded.k_scale.shape[-1] == 32
     assert int(np.asarray(padded.mask).sum()) == 28
+
+def test_mesh_generate_with_quant_cache():
+    """int8 cache over a (data, fsdp) mesh: scale leaves must shard/pad with
+    the K/V rows; tokens must match the single-device quantized path."""
+    from gritlm_tpu.gritlm import GritLM
+    from gritlm_tpu.config import tiny_mistral
+    from gritlm_tpu.parallel import MeshConfig, make_mesh
+
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    m_mesh = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0,
+                    mesh=mesh, kv_quant=True)
+    m_one = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0,
+                   kv_quant=True)
+    docs = ["context document A", "context doc B", "third ctx"]
+    outs = []
+    for m in (m_mesh, m_one):
+        _, cache = m.encode(docs, get_cache=True, batch_size=4)
+        assert cache.quantized
+        enc = m.tokenizer(["\nQ?\n<|assistant|>\n"] * len(docs),
+                          add_special_tokens=False)
+        res = m.generate_from_ids(enc["input_ids"], enc["attention_mask"],
+                                  cache=cache, max_new_tokens=5)
+        outs.append(np.asarray(res.tokens))
+    np.testing.assert_array_equal(outs[0], outs[1])
