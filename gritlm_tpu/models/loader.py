@@ -71,14 +71,19 @@ def load_checkpoint(
     def stack(fmt: str, transpose: bool = False) -> np.ndarray:
         return np.stack([get(maybe_prefix(fmt.format(i=i)), transpose) for i in range(L)])
 
+    attn = {
+        "wq": stack("layers.{i}.self_attn.q_proj.weight", True),
+        "wk": stack("layers.{i}.self_attn.k_proj.weight", True),
+        "wv": stack("layers.{i}.self_attn.v_proj.weight", True),
+        "wo": stack("layers.{i}.self_attn.o_proj.weight", True),
+    }
+    if cfg.attention_bias:  # Qwen2-family QKV biases
+        attn["bq"] = stack("layers.{i}.self_attn.q_proj.bias")
+        attn["bk"] = stack("layers.{i}.self_attn.k_proj.bias")
+        attn["bv"] = stack("layers.{i}.self_attn.v_proj.bias")
     layers = {
         "ln1": {"scale": stack("layers.{i}.input_layernorm.weight")},
-        "attn": {
-            "wq": stack("layers.{i}.self_attn.q_proj.weight", True),
-            "wk": stack("layers.{i}.self_attn.k_proj.weight", True),
-            "wv": stack("layers.{i}.self_attn.v_proj.weight", True),
-            "wo": stack("layers.{i}.self_attn.o_proj.weight", True),
-        },
+        "attn": attn,
         "ln2": {"scale": stack("layers.{i}.post_attention_layernorm.weight")},
     }
     if cfg.is_moe:
@@ -158,6 +163,10 @@ def save_checkpoint(
         put(f"{p}.self_attn.k_proj.weight", ls["attn"]["wk"][i], True)
         put(f"{p}.self_attn.v_proj.weight", ls["attn"]["wv"][i], True)
         put(f"{p}.self_attn.o_proj.weight", ls["attn"]["wo"][i], True)
+        if "bq" in ls["attn"]:
+            put(f"{p}.self_attn.q_proj.bias", ls["attn"]["bq"][i])
+            put(f"{p}.self_attn.k_proj.bias", ls["attn"]["bk"][i])
+            put(f"{p}.self_attn.v_proj.bias", ls["attn"]["bv"][i])
         put(f"{p}.post_attention_layernorm.weight", ls["ln2"]["scale"][i])
         if cfg.is_moe:
             put(f"{p}.block_sparse_moe.gate.weight", ls["moe"]["router"][i], True)
@@ -227,6 +236,18 @@ def save_checkpoint(
         # explicit head_dim != hidden/heads must round-trip or the attention
         # reshape fails on reload (from_hf_config accepts this key)
         hf_cfg["head_dim"] = cfg.head_dim
+    if cfg.attention_bias:
+        hf_cfg["attention_bias"] = True
+    if cfg.rope_scaling_type is not None:
+        rs = {"rope_type": cfg.rope_scaling_type,
+              "factor": cfg.rope_scaling_factor}
+        if cfg.rope_scaling_type == "llama3":
+            rs.update(
+                low_freq_factor=cfg.rope_low_freq_factor,
+                high_freq_factor=cfg.rope_high_freq_factor,
+                original_max_position_embeddings=cfg.rope_original_max_position,
+            )
+        hf_cfg["rope_scaling"] = rs
     if cfg.is_moe:
         hf_cfg.update(
             num_local_experts=cfg.num_local_experts,

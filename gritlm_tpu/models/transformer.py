@@ -56,14 +56,19 @@ def init_params(cfg: ModelConfig, key: jax.Array, with_lm_head: bool = True):
     def norm(k, shape):
         return (jax.random.normal(k, shape, jnp.float32) * 0.02).astype(dt)
 
+    attn = {
+        "wq": norm(next(keys), (L, D, H * Dh)),
+        "wk": norm(next(keys), (L, D, Kv * Dh)),
+        "wv": norm(next(keys), (L, D, Kv * Dh)),
+        "wo": norm(next(keys), (L, H * Dh, D)),
+    }
+    if cfg.attention_bias:
+        attn["bq"] = jnp.zeros((L, H * Dh), dt)
+        attn["bk"] = jnp.zeros((L, Kv * Dh), dt)
+        attn["bv"] = jnp.zeros((L, Kv * Dh), dt)
     layers = {
         "ln1": {"scale": jnp.ones((L, D), dt)},
-        "attn": {
-            "wq": norm(next(keys), (L, D, H * Dh)),
-            "wk": norm(next(keys), (L, D, Kv * Dh)),
-            "wv": norm(next(keys), (L, D, Kv * Dh)),
-            "wo": norm(next(keys), (L, H * Dh, D)),
-        },
+        "attn": attn,
         "ln2": {"scale": jnp.ones((L, D), dt)},
     }
     if cfg.is_moe:
@@ -143,16 +148,33 @@ def rms_norm(x: jax.Array, scale: jax.Array, eps: float) -> jax.Array:
     return x.astype(dt) * scale.astype(dt)
 
 
-def _rope_freqs(dh: int, theta: float) -> jax.Array:
-    return 1.0 / (theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+def _rope_freqs(dh: int, theta: float, scaling=None) -> jax.Array:
+    inv = 1.0 / (theta ** (jnp.arange(0, dh, 2, dtype=jnp.float32) / dh))
+    if scaling is None:
+        return inv
+    typ, factor, lo, hi, orig = scaling
+    if typ == "linear":
+        return inv / factor
+    # llama3 NTK-by-parts (HF _compute_llama3_parameters): long wavelengths
+    # scale by 1/factor, short ones stay, smooth blend between
+    low_wl = orig / lo
+    high_wl = orig / hi
+    wl = 2.0 * jnp.pi / inv
+    smooth = (orig / wl - lo) / (hi - lo)
+    mid = (1.0 - smooth) * inv / factor + smooth * inv
+    return jnp.where(wl > low_wl, inv / factor,
+                     jnp.where(wl < high_wl, inv, mid))
 
 
-def apply_rope(x: jax.Array, positions: jax.Array, theta: float) -> jax.Array:
+def apply_rope(
+    x: jax.Array, positions: jax.Array, theta: float, scaling=None
+) -> jax.Array:
     """HF half-rotation convention: rotate_half([a, b]) = [-b, a] with the split
     at Dh/2 (matches modeling_mistral rotate_half so HF weights are portable).
-    x [B, S, H, Dh], positions [B, S]."""
+    x [B, S, H, Dh], positions [B, S]. `scaling` is cfg.rope_scaling_
+    (linear / llama3)."""
     dh = x.shape[-1]
-    freqs = _rope_freqs(dh, theta)  # [Dh/2]
+    freqs = _rope_freqs(dh, theta, scaling)  # [Dh/2]
     angles = positions[..., None].astype(jnp.float32) * freqs  # [B, S, Dh/2]
     cos = jnp.cos(angles)[:, :, None, :]  # [B, S, 1, Dh/2]
     sin = jnp.sin(angles)[:, :, None, :]
@@ -245,11 +267,19 @@ def _attention_block(
 ):
     B, S, D = x.shape
     H, Kv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
-    q = (x @ _w(p["wq"], x.dtype)).reshape(B, S, H, Dh)
-    k = (x @ _w(p["wk"], x.dtype)).reshape(B, S, Kv, Dh)
-    v = (x @ _w(p["wv"], x.dtype)).reshape(B, S, Kv, Dh)
-    q = apply_rope(q, positions, cfg.rope_theta)
-    k = apply_rope(k, positions, cfg.rope_theta)
+
+    def proj(wname: str, bname: str, nh: int) -> jax.Array:
+        y = x @ _w(p[wname], x.dtype)
+        b = p.get(bname)  # Qwen2-family QKV biases (cfg.attention_bias)
+        if b is not None:
+            y = y + b.astype(y.dtype)
+        return y.reshape(B, S, nh, Dh)
+
+    q = proj("wq", "bq", H)
+    k = proj("wk", "bk", Kv)
+    v = proj("wv", "bv", Kv)
+    q = apply_rope(q, positions, cfg.rope_theta, cfg.rope_scaling_)
+    k = apply_rope(k, positions, cfg.rope_theta, cfg.rope_scaling_)
 
     if ring_axis is not None:
         # sequence-sharded exact attention: K/V shards rotate the ICI ring

@@ -46,6 +46,11 @@ def param_partition_specs(params: Dict[str, Any]) -> Dict[str, Any]:
             "wo": P(None, AXIS_MODEL, AXIS_FSDP),
         },
     }
+    if "bq" in params["layers"]["attn"]:  # Qwen2 QKV biases: output dim
+        layers["attn"].update(
+            bq=P(None, AXIS_MODEL), bk=P(None, AXIS_MODEL),
+            bv=P(None, AXIS_MODEL),
+        )
     lp = params["layers"]
     if "mlp" in lp:
         layers["mlp"] = {
