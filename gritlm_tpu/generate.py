@@ -144,26 +144,44 @@ def make_cache_for_prompt(
     return init_cache(cfg, batch, total, dtype=dtype, quant=quant)
 
 
-def concat_caches(a: KVCache, b: KVCache) -> KVCache:
+def concat_caches(
+    a: KVCache, b: KVCache, total_len: Optional[int] = None
+) -> KVCache:
     """Concatenate two caches along the sequence-slot axis — the TPU analogue
     of the reference's per-layer torch.cat((k1,k2), dim=seq) for querydoc /
     docquery RAG modes (rag/eval.py:245-260). Slots beyond each cache's
-    `length` are dropped so the result stays dense in slot space."""
+    `length` are dropped so the result stays dense in slot space.
+
+    `total_len` sizes the output buffer directly (empty masked slots at the
+    tail) so a follow-up pad_cache_to is a no-op — one materialization of
+    the combined cache instead of two, which matters when two 8k-doc caches
+    meet a 16GB chip."""
     la, lb = int(a.length), int(b.length)
     assert a.quantized == b.quantized, "cannot concat int8 with bf16 caches"
+    pad = max(0, (total_len or 0) - (la + lb))
+
+    def cat(xa, xb, axis: int):
+        parts = [
+            jax.lax.slice_in_dim(xa, 0, la, axis=axis),
+            jax.lax.slice_in_dim(xb, 0, lb, axis=axis),
+        ]
+        if pad:
+            shape = list(xa.shape)
+            shape[axis] = pad
+            parts.append(jnp.zeros(shape, xa.dtype))
+        return jnp.concatenate(parts, axis=axis)
+
     scales = {}
     if a.quantized:
         # scales are slot-minor [L, B, Kv, Smax]
         scales = dict(
-            k_scale=jnp.concatenate(
-                [a.k_scale[..., :la], b.k_scale[..., :lb]], axis=3),
-            v_scale=jnp.concatenate(
-                [a.v_scale[..., :la], b.v_scale[..., :lb]], axis=3),
+            k_scale=cat(a.k_scale, b.k_scale, 3),
+            v_scale=cat(a.v_scale, b.v_scale, 3),
         )
     return KVCache(
-        k=jnp.concatenate([a.k[:, :, :la], b.k[:, :, :lb]], axis=2),
-        v=jnp.concatenate([a.v[:, :, :la], b.v[:, :, :lb]], axis=2),
-        mask=jnp.concatenate([a.mask[:, :la], b.mask[:, :lb]], axis=1),
+        k=cat(a.k, b.k, 2),
+        v=cat(a.v, b.v, 2),
+        mask=cat(a.mask, b.mask, 1),
         length=a.length + b.length,
         **scales,
     )

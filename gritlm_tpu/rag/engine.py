@@ -214,6 +214,21 @@ class RAGEngine:
             v_scale=None if vs is None else jax.device_put(vs),
         )
 
+    def _concat_total(self, a, b, prompts, mnt: int) -> int:
+        """Final slot count the concatenated cache will need for generation
+        (cache lengths + bucketed continuation prompt + new tokens), so
+        concat_caches sizes its buffer once and generate_from_ids's
+        pad_cache_to is a no-op — halves peak memory for the concat modes."""
+        from gritlm_tpu.generate import align_cache_len
+        from gritlm_tpu.gritlm import _bucket
+
+        enc = self.model.tokenizer(
+            [p + ANSWER_PROMPT for p in prompts], add_special_tokens=False
+        )
+        plen = max(len(r) for r in enc["input_ids"])
+        plen = _bucket(plen, self.model.seq_buckets)
+        return align_cache_len(int(a.length) + int(b.length) + plen + mnt)
+
     def precompute_doc_cache(self, doc_id: int, mode: "CacheMode") -> None:
         """Encode one passage with KV capture (production would do this for
         the whole corpus at build time; reference stores it in doc_map,
@@ -317,7 +332,12 @@ class RAGEngine:
                     d_cache = stored
                     self._stacked_memo[stack_key] = stored
                     self._stacked_memo.move_to_end(stack_key)
-                    while len(self._stacked_memo) > 2:
+                    # one resident entry: two 8k-doc stacked caches plus the
+                    # generation cache overflow a 16GB chip (the reference
+                    # keeps ALL doc caches device-resident unless
+                    # move_cache_to_cpu — our host store is the capacity
+                    # path, this memo is just the hot-hit fast path)
+                    while len(self._stacked_memo) > 1:
                         self._stacked_memo.popitem(last=False)
                 elif B == 1 and memo_key in self._doc_cache:
                     # single-query path reuses per-doc caches (the reference
@@ -353,10 +373,16 @@ class RAGEngine:
                 kv_cache = d_cache
             elif mode == CacheMode.DOCQUERY:
                 prompts = [CONT_AFTER_DOC_QUERY_CACHES] * B
-                kv_cache = concat_caches(d_cache, q_cache)
+                kv_cache = concat_caches(
+                    d_cache, q_cache,
+                    total_len=self._concat_total(d_cache, q_cache, prompts, mnt),
+                )
             elif mode == CacheMode.QUERYDOC:
                 prompts = [CONT_AFTER_QUERY_DOC_CACHES] * B
-                kv_cache = concat_caches(q_cache, d_cache)
+                kv_cache = concat_caches(
+                    q_cache, d_cache,
+                    total_len=self._concat_total(q_cache, d_cache, prompts, mnt),
+                )
             elif mode == CacheMode.PROMPT_QUERY_DOC:
                 prompts = [
                     PROMPT_QUERY_DOC.format(query=q, **_doc_fields(p[0]))

@@ -23,10 +23,24 @@ _STEP_RE = re.compile(r"^step_(\d+)$")
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, save_total_limit: int = 2):
+    def __init__(
+        self,
+        directory: str,
+        save_total_limit: int = 2,
+        async_save: bool = True,
+    ):
+        """With async_save (default) `save()` returns once the on-device
+        arrays are snapshotted and the write streams to disk in the
+        background — training continues through the I/O (the reference
+        blocks all ranks through a 10-hour-timeout FULL_STATE_DICT save,
+        gradcache_trainer.py:58-74). A new save, restore, or wait() joins
+        the previous write first; incomplete steps (crash mid-write) are
+        invisible to all_steps/latest_step because Orbax renames its tmp
+        dir atomically on commit."""
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
         self.save_total_limit = save_total_limit
+        self.async_save = async_save
         self._ckpt = ocp.StandardCheckpointer()
 
     # ------------------------------------------------------------------ paths
@@ -39,7 +53,11 @@ class CheckpointManager:
         if os.path.isdir(self.directory):
             for d in os.listdir(self.directory):
                 m = _STEP_RE.match(d)
-                if m:
+                # only committed checkpoints: the "state" leaf dir appears
+                # atomically when Orbax renames its tmp dir
+                if m and os.path.isdir(
+                    os.path.join(self.directory, d, "state")
+                ):
                     steps.append(int(m.group(1)))
         return sorted(steps)
 
@@ -52,21 +70,31 @@ class CheckpointManager:
     def save(self, state: TrainState, extra: Optional[dict] = None) -> str:
         step = int(jax.device_get(state.step))
         path = self._path(step)
+        self._ckpt.wait_until_finished()  # join the previous async write
+        # rotate committed steps down to limit-1 so the incoming save lands
+        # exactly at save_total_limit; the in-flight step is never a victim
+        self._rotate(keep=self.save_total_limit - 1)
         self._ckpt.save(
             os.path.join(path, "state"), dict(state=state), force=True
         )
-        self._ckpt.wait_until_finished()
+        if not self.async_save:
+            self._ckpt.wait_until_finished()
         if extra:
             import json
 
             with open(os.path.join(path, "extra.json"), "w") as f:
                 json.dump(extra, f)
-        self._rotate()
         return path
 
-    def _rotate(self) -> None:
+    def wait(self) -> None:
+        """Block until any in-flight async save has committed (call before
+        process exit or before handing the directory to another consumer)."""
+        self._ckpt.wait_until_finished()
+
+    def _rotate(self, keep: Optional[int] = None) -> None:
+        keep = self.save_total_limit if keep is None else max(keep, 1)
         steps = self.all_steps()
-        while len(steps) > self.save_total_limit:
+        while len(steps) > keep:
             victim = steps.pop(0)
             import shutil
 
@@ -90,6 +118,7 @@ class CheckpointManager:
     def restore(self, template: TrainState, step: Optional[int] = None) -> TrainState:
         """Restore into the template's shardings/dtypes (template = freshly
         built, sharded TrainState)."""
+        self._ckpt.wait_until_finished()  # a just-saved step must be visible
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"No checkpoints under {self.directory}")

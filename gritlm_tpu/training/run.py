@@ -283,6 +283,7 @@ def main(argv=None) -> dict:
 
     # ---- final save: orbax + HF export (LoRA: merged into dense weights)
     ckpt.save(state, extra={"epoch": epoch, "batch_in_epoch": bidx})
+    ckpt.wait()  # the final async write must commit before we return
     export_dir = os.path.join(args.output_dir, "export")
     if lora_setup is not None:
         from gritlm_tpu.training.lora import merge

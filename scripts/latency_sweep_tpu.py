@@ -21,7 +21,11 @@ def main() -> None:
     import logging
 
     logging.basicConfig(level=logging.INFO)
-    out_file = sys.argv[1] if len(sys.argv) > 1 else "docs/latency_v5e_1b.json"
+    args = [a for a in sys.argv[1:] if not a.startswith("-")]
+    quant = "--quant" in sys.argv  # w8a16 weights + int8 KV/doc-store
+    out_file = args[0] if args else (
+        "docs/latency_v5e_1b_int8.json" if quant else "docs/latency_v5e_1b.json"
+    )
 
     import jax
 
@@ -38,6 +42,7 @@ def main() -> None:
     model = GritLM(
         cfg, mode="unified", attn="bbcc",
         seq_buckets=(256, 1024, 2048, 4096, 8192, 9216),
+        kv_quant=quant, weight_quant=quant,
     )
 
     results = {}
@@ -49,24 +54,32 @@ def main() -> None:
     # at 8k keeps the B×9k decode cache + memoized doc caches + params
     # inside one v5e's 16GB HBM
     all_modes = ("prompt_query_doc", "query", "doc", "querydoc", "docquery")
+    # batch sized per dlen so stacked doc caches + the query cache + the
+    # fused concat buffer + params stay inside one v5e's 16GB HBM
     plan = [
-        ((2000, 4000), (1000, 4000), 8, all_modes, 16),
+        ((2000,), (1000, 4000), 8, all_modes, 16),
+        ((4000,), (1000, 4000), 6, all_modes, 16),
         ((8000,), (1000, 4000), 4,
          ("prompt_query_doc", "query", "doc", "docquery"), 8),
     ]
     for lengths, qlens, batch, modes, n_docs in plan:
-        r = run_sweep(
-            model,
-            lengths=lengths,
-            query_lengths=qlens,
-            modes=modes,
-            max_new_tokens=16,
-            n_queries=batch,
-            reps=10,
-            n_docs=n_docs,
-            out_file=None,
-            cache_docs=True,
-        )
+        try:
+            r = run_sweep(
+                model,
+                lengths=lengths,
+                query_lengths=qlens,
+                modes=modes,
+                max_new_tokens=16,
+                n_queries=batch,
+                reps=10,
+                n_docs=n_docs,
+                out_file=None,
+                cache_docs=True,
+            )
+        except Exception as e:  # keep the other phases' cells
+            print(f"phase dlen={lengths} FAILED: {type(e).__name__}: {e}",
+                  flush=True)
+            continue
         meta = r.pop("_meta")
         results.setdefault("_meta", meta)
         results.update(r)

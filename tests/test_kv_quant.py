@@ -151,3 +151,24 @@ def test_mesh_generate_with_quant_cache():
                                   cache=cache, max_new_tokens=5)
         outs.append(np.asarray(res.tokens))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+def test_concat_caches_total_len(cfg, params):
+    """total_len sizes the buffer in one shot (masked tail slots) so the
+    follow-up pad_cache_to is a no-op — and numerics match concat+pad."""
+    rng = np.random.default_rng(2)
+    caches = []
+    for s in (6, 8):
+        ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (2, s)), jnp.int32)
+        cache = init_cache(cfg, 2, s, quant=False)
+        _, cache, _ = forward(params, cfg, ids, causal=False, cache=cache)
+        caches.append(cache)
+    from gritlm_tpu.generate import concat_caches, pad_cache_to
+
+    sized = concat_caches(caches[0], caches[1], total_len=32)
+    two_step = pad_cache_to(concat_caches(caches[0], caches[1]), 32)
+    assert sized.k.shape == two_step.k.shape == caches[0].k.shape[:2] + (32,) + caches[0].k.shape[3:]
+    np.testing.assert_array_equal(np.asarray(sized.k), np.asarray(two_step.k))
+    np.testing.assert_array_equal(np.asarray(sized.mask), np.asarray(two_step.mask))
+    assert int(sized.length) == 14
+    # pad_cache_to on the sized cache is a no-op (same object)
+    assert pad_cache_to(sized, 32) is sized
