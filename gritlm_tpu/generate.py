@@ -15,7 +15,7 @@ prompts and concatenated caches with pad holes decode correctly.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -42,7 +42,9 @@ def _prompt_positions(prev_valid: jax.Array, step_mask: jax.Array) -> jax.Array:
     return prev_valid[:, None] + jnp.clip(cum, 0, None)
 
 
-def _sample(logits: jax.Array, key, temperature: float, top_k: int) -> jax.Array:
+def _sample(
+    logits: jax.Array, key, temperature: float, top_k: int, top_p: float = 1.0
+) -> jax.Array:
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1)
     logits = logits / temperature
@@ -50,13 +52,22 @@ def _sample(logits: jax.Array, key, temperature: float, top_k: int) -> jax.Array
         top_vals, _ = jax.lax.top_k(logits, top_k)
         kth = top_vals[..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
+    if top_p < 1.0:
+        # nucleus: keep the smallest prefix of the sorted distribution with
+        # cumulative mass ≥ top_p (the top token always survives)
+        sort = jnp.sort(logits, axis=-1)[..., ::-1]
+        cum = jnp.cumsum(jax.nn.softmax(sort, axis=-1), axis=-1)
+        cut = jnp.sum((cum < top_p).astype(jnp.int32), axis=-1)  # [B]
+        kth = jnp.take_along_axis(sort, cut[..., None], axis=-1)
+        logits = jnp.where(logits < kth, -jnp.inf, logits)
     return jax.random.categorical(key, logits, axis=-1)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "temperature", "top_k", "eos_id", "pad_id",
+        "cfg", "max_new_tokens", "temperature", "top_k", "top_p", "eos_id",
+        "pad_id",
     ),
 )
 def generate(
@@ -70,6 +81,7 @@ def generate(
     max_new_tokens: int = 16,
     temperature: float = 0.0,
     top_k: int = 0,
+    top_p: float = 1.0,
     eos_id: int = 2,
     pad_id: int = 2,
 ) -> GenerateResult:
@@ -91,7 +103,7 @@ def generate(
     logits = logits_from_hidden(params, cfg, last_hidden[:, None, :])[:, 0]
 
     key, k0 = jax.random.split(key)
-    tok0 = _sample(logits, k0, temperature, top_k)
+    tok0 = _sample(logits, k0, temperature, top_k, top_p)
     done0 = tok0 == eos_id
 
     def step(carry, _):
@@ -105,7 +117,7 @@ def generate(
         )
         logits = logits_from_hidden(params, cfg, hidden)[:, 0]
         key, k = jax.random.split(key)
-        nxt = _sample(logits, k, temperature, top_k)
+        nxt = _sample(logits, k, temperature, top_k, top_p)
         nxt = jnp.where(done, pad_id, nxt)
         done = done | (nxt == eos_id)
         return (cache, nxt, done, key), nxt

@@ -367,6 +367,7 @@ class GritLM:
         max_new_tokens: int = 16,
         temperature: float = 0.0,
         top_k: int = 0,
+        top_p: float = 1.0,
         seed: int = 0,
     ) -> GenerateResult:
         # bucket the prompt length so varied-length prompts reuse compiled
@@ -452,6 +453,7 @@ class GritLM:
             put_batch(jnp.asarray(attention_mask)), cache,
             jax.random.PRNGKey(seed),
             max_new_tokens=max_new_tokens, temperature=temperature, top_k=top_k,
+            top_p=top_p,
             eos_id=self.tokenizer.eos_token_id, pad_id=self.tokenizer.pad_token_id,
         )
         if res.tokens.shape[0] != n_rows:  # drop mesh pad rows
@@ -468,6 +470,7 @@ class GritLM:
         max_new_tokens: int = 16,
         temperature: float = 0.0,
         top_k: int = 0,
+        top_p: float = 1.0,
         max_length: int = 2048,
         cache: Optional[KVCache] = None,
         add_special_tokens: bool = True,
@@ -482,7 +485,7 @@ class GritLM:
         res = self.generate_from_ids(
             enc["input_ids"], enc["attention_mask"],
             cache=cache, max_new_tokens=max_new_tokens,
-            temperature=temperature, top_k=top_k, seed=seed,
+            temperature=temperature, top_k=top_k, top_p=top_p, seed=seed,
         )
         toks = np.asarray(res.tokens)
         nv = np.asarray(res.num_valid)

@@ -37,6 +37,7 @@ and sliding windows are all fused into the score mask.
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional
 
 import jax
@@ -305,9 +306,7 @@ def flash_decode(
         raise NotImplementedError(f"decode kernel: Kv*Dh = {KD} not lane-aligned")
     rows = Sq * group  # reps: one per (sq position, group member)
     # pad reps so total rows (reps * Hkv) hit an 8-sublane boundary
-    import math as _math
-
-    t = 8 // _math.gcd(Hkv, 8)
+    t = 8 // math.gcd(Hkv, 8)
     RP = max(-(-rows // t) * t, t)
     HRP = RP * Hkv
     if HRP * KD * 4 > MAX_ACC_BYTES:

@@ -189,3 +189,22 @@ def test_mesh_generate_with_cache():
         import numpy as np
         outs.append(np.asarray(res.tokens))
     np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_top_p_sampling():
+    """top_p=1 matches default sampling under the same seed; a tiny top_p
+    collapses to (near-)greedy because only the top token survives."""
+    m = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0)
+    enc = m.tokenizer(["<|user|>\nHello\n<|assistant|>\n"] * 2)
+    kw = dict(max_new_tokens=6, temperature=0.9, seed=3)
+    import numpy as np
+    a = np.asarray(m.generate_from_ids(
+        enc["input_ids"], enc["attention_mask"], **kw).tokens)
+    b = np.asarray(m.generate_from_ids(
+        enc["input_ids"], enc["attention_mask"], top_p=1.0, **kw).tokens)
+    np.testing.assert_array_equal(a, b)
+    tiny = np.asarray(m.generate_from_ids(
+        enc["input_ids"], enc["attention_mask"], top_p=1e-6, **kw).tokens)
+    greedy = np.asarray(m.generate_from_ids(
+        enc["input_ids"], enc["attention_mask"], max_new_tokens=6).tokens)
+    np.testing.assert_array_equal(tiny, greedy)
