@@ -99,3 +99,34 @@ def test_evaluate_batched(engine):
         mode="prompt_query_doc", max_new_tokens=4, batch_size=2,
     )
     assert m["n"] == 2 and len(m["predictions"]) == 2
+
+
+def test_rag_engine_multichip_end_to_end():
+    """Full RAG serving over a virtual mesh: sharded params, sharded encode,
+    mesh-sharded flat index, sharded generation — answers must match the
+    single-device engine exactly (greedy decode, same weights)."""
+    from gritlm_tpu.parallel import MeshConfig, make_mesh
+
+    docs = [
+        {"title": f"t{i}", "text": f"Document body number {i} talks about "
+                                   f"topic {i % 3}."}
+        for i in range(9)
+    ]
+    queries = ["what is topic 1?", "tell me about number 4.",
+               "document zero?"]
+
+    m_one = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0)
+    e_one = RAGEngine(m_one, max_new_tokens=4, encode_max_length=64)
+    e_one.build_index(docs, batch_size=4, cache_docs=True)
+
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    m_mesh = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0,
+                    mesh=mesh)
+    e_mesh = RAGEngine(m_mesh, max_new_tokens=4, encode_max_length=64)
+    e_mesh.build_index(docs, batch_size=4, mesh=mesh, cache_docs=True)
+
+    for mode in (CacheMode.PROMPT_QUERY_DOC, CacheMode.DOC):
+        r1 = e_one.answer_batch(list(queries), mode=mode)
+        r2 = e_mesh.answer_batch(list(queries), mode=mode)
+        assert [r.answer for r in r1] == [r.answer for r in r2], mode
+        assert [r.passages for r in r1] == [r.passages for r in r2], mode
