@@ -53,14 +53,21 @@ def _sample(
         kth = top_vals[..., -1:]
         logits = jnp.where(logits < kth, -jnp.inf, logits)
     if top_p < 1.0:
-        # nucleus: keep the smallest prefix of the sorted distribution with
-        # cumulative mass ≥ top_p (the top token always survives)
-        sort = jnp.sort(logits, axis=-1)[..., ::-1]
-        cum = jnp.cumsum(jax.nn.softmax(sort, axis=-1), axis=-1)
-        cut = jnp.sum((cum < top_p).astype(jnp.int32), axis=-1)  # [B]
-        kth = jnp.take_along_axis(sort, cut[..., None], axis=-1)
-        logits = jnp.where(logits < kth, -jnp.inf, logits)
+        logits = nucleus_filter(logits, top_p)
     return jax.random.categorical(key, logits, axis=-1)
+
+
+def nucleus_filter(logits: jax.Array, top_p: float) -> jax.Array:
+    """Top-p: mask everything outside the smallest prefix of the sorted
+    distribution with cumulative mass ≥ top_p (the top token always
+    survives). fp32 throughout: a bf16 cumsum over a 32k-152k vocab
+    misplaces the cutoff by hundreds of tokens."""
+    lf = logits.astype(jnp.float32)
+    sort = jnp.sort(lf, axis=-1)[..., ::-1]
+    cum = jnp.cumsum(jax.nn.softmax(sort, axis=-1), axis=-1)
+    cut = jnp.sum((cum < top_p).astype(jnp.int32), axis=-1)  # [B]
+    kth = jnp.take_along_axis(sort, cut[..., None], axis=-1)
+    return jnp.where(lf < kth, -jnp.inf, logits)
 
 
 @functools.partial(
@@ -81,7 +88,9 @@ def generate(
     max_new_tokens: int = 16,
     temperature: float = 0.0,
     top_k: int = 0,
-    top_p: float = 1.0,
+    top_p: float = 1.0,  # static, like temperature/top_k: one compiled
+    # program per sampling config (sampling params are per-deployment
+    # constants here, not per-request knobs)
     eos_id: int = 2,
     pad_id: int = 2,
 ) -> GenerateResult:

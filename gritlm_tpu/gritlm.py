@@ -358,6 +358,20 @@ class GritLM:
             self.mesh.shape[a] for a in self._batch_sharding.spec[0]
         ]))
 
+    def required_cache_len(
+        self, prompt_tokens: int, cache_len: int, max_new_tokens: int
+    ) -> int:
+        """Slot count generate_from_ids will require for a prompt of
+        `prompt_tokens` continuing a cache of `cache_len` valid slots — the
+        single source of the bucket+align sizing formula, so callers (e.g.
+        RAGEngine's fused cache concat) can pre-size buffers such that
+        pad_cache_to is a no-op."""
+        from gritlm_tpu.generate import align_cache_len
+
+        return align_cache_len(
+            cache_len + _bucket(prompt_tokens, self.seq_buckets) + max_new_tokens
+        )
+
     def generate_from_ids(
         self,
         input_ids: np.ndarray,
@@ -439,12 +453,13 @@ class GritLM:
                 max_new_tokens, quant=self.kv_quant,
             )
         else:
-            from gritlm_tpu.generate import align_cache_len, pad_cache_to
+            from gritlm_tpu.generate import pad_cache_to
 
-            need = int(cache.k.shape[2])
-            want = int(cache.length) + input_ids.shape[1] + max_new_tokens
-            if need < want:
-                cache = pad_cache_to(cache, align_cache_len(want))
+            # same formula as required_cache_len (prompt already bucketed,
+            # and _bucket is idempotent on bucket values)
+            cache = pad_cache_to(cache, self.required_cache_len(
+                input_ids.shape[1], int(cache.length), max_new_tokens
+            ))
         if put_cache is not None:
             cache = put_cache(cache)
         res = generate(

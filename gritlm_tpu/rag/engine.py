@@ -99,10 +99,11 @@ class RAGEngine:
         # (the reference's doc_map[i]["kv_cache"] + move_cache_to_cpu,
         # rag/eval.py:124-150)
         self._doc_store: Dict[Any, Any] = {}
-        # device-resident memo of recently stacked doc-cache batches: repeat
+        # device-resident memo of the last stacked doc-cache batch: repeat
         # hits on the same doc set skip the host→device transfer (the
         # reference keeps doc caches accelerator-resident unless
-        # move_cache_to_cpu; bounded to 2 entries to protect HBM)
+        # move_cache_to_cpu; bounded to 1 entry to protect HBM — see the
+        # eviction loop in answer_batch)
         self._stacked_memo: "OrderedDict[Any, Any]" = OrderedDict()
 
     # ------------------------------------------------------------------ build
@@ -216,18 +217,17 @@ class RAGEngine:
 
     def _concat_total(self, a, b, prompts, mnt: int) -> int:
         """Final slot count the concatenated cache will need for generation
-        (cache lengths + bucketed continuation prompt + new tokens), so
-        concat_caches sizes its buffer once and generate_from_ids's
+        (cache lengths + bucketed continuation prompt + new tokens, via
+        GritLM.required_cache_len — the same formula generate_from_ids
+        applies), so concat_caches sizes its buffer once and the follow-up
         pad_cache_to is a no-op — halves peak memory for the concat modes."""
-        from gritlm_tpu.generate import align_cache_len
-        from gritlm_tpu.gritlm import _bucket
-
         enc = self.model.tokenizer(
             [p + ANSWER_PROMPT for p in prompts], add_special_tokens=False
         )
         plen = max(len(r) for r in enc["input_ids"])
-        plen = _bucket(plen, self.model.seq_buckets)
-        return align_cache_len(int(a.length) + int(b.length) + plen + mnt)
+        return self.model.required_cache_len(
+            plen, int(a.length) + int(b.length), mnt
+        )
 
     def precompute_doc_cache(self, doc_id: int, mode: "CacheMode") -> None:
         """Encode one passage with KV capture (production would do this for

@@ -71,14 +71,13 @@ class CheckpointManager:
         step = int(jax.device_get(state.step))
         path = self._path(step)
         self._ckpt.wait_until_finished()  # join the previous async write
-        # rotate committed steps down to limit-1 so the incoming save lands
-        # exactly at save_total_limit; the in-flight step is never a victim
-        self._rotate(keep=self.save_total_limit - 1)
+        self._rotate()  # enforce the limit over committed steps
         self._ckpt.save(
             os.path.join(path, "state"), dict(state=state), force=True
         )
         if not self.async_save:
             self._ckpt.wait_until_finished()
+            self._rotate()  # sync mode: exact limit on return
         if extra:
             import json
 
@@ -88,11 +87,15 @@ class CheckpointManager:
 
     def wait(self) -> None:
         """Block until any in-flight async save has committed (call before
-        process exit or before handing the directory to another consumer)."""
+        process exit or before handing the directory to another consumer).
+        Async mode holds up to limit+1 committed checkpoints between a save
+        and the next join point (the old one is never deleted before the
+        new one commits); this re-enforces the limit after joining."""
         self._ckpt.wait_until_finished()
+        self._rotate()
 
-    def _rotate(self, keep: Optional[int] = None) -> None:
-        keep = self.save_total_limit if keep is None else max(keep, 1)
+    def _rotate(self) -> None:
+        keep = self.save_total_limit
         steps = self.all_steps()
         while len(steps) > keep:
             victim = steps.pop(0)

@@ -81,6 +81,7 @@ def main() -> None:
                   flush=True)
             continue
         meta = r.pop("_meta")
+        meta["batch_per_call"] = "per-cell (see each cell's 'batch')"
         results.setdefault("_meta", meta)
         results.update(r)
         with open(out_file, "w") as f:
@@ -89,6 +90,8 @@ def main() -> None:
 
     # savings table vs the no-cache prompt mode (p50: robust to one-off
     # recompiles)
+    if "_meta" not in results:
+        raise SystemExit("every sweep phase failed — see errors above")
     print(f"\ndispatch floor: {results['_meta']['dispatch_floor_s'] * 1e3:.1f} ms/call")
     print(f"{'q/d':>10} {'prompt s':>9} {'query':>7} {'doc':>7} {'docquery':>9}")
     for q in (1000, 4000):

@@ -208,3 +208,35 @@ def test_top_p_sampling():
     greedy = np.asarray(m.generate_from_ids(
         enc["input_ids"], enc["attention_mask"], max_new_tokens=6).tokens)
     np.testing.assert_array_equal(tiny, greedy)
+
+
+def test_nucleus_filter_fp32_on_bf16_logits():
+    """The top-p cutoff must be computed in fp32 even for bf16 logits: a
+    bf16 cumsum over a 32k vocab misplaces the boundary by hundreds of
+    tokens (review finding). Compare against an explicit fp64-ish oracle."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from gritlm_tpu.generate import nucleus_filter
+
+    rng = np.random.default_rng(0)
+    logits32 = rng.normal(size=(2, 32000)).astype(np.float32) * 2.0
+    logits = jnp.asarray(logits32, jnp.bfloat16)
+    for top_p in (0.9, 0.99):
+        got = np.asarray(nucleus_filter(logits, top_p), np.float32)
+        # oracle in float64 on the bf16-rounded values
+        lf = np.asarray(logits, np.float32).astype(np.float64)
+        order = np.argsort(-lf, axis=-1)
+        srt = np.take_along_axis(lf, order, axis=-1)
+        p = np.exp(srt - srt.max(-1, keepdims=True))
+        p /= p.sum(-1, keepdims=True)
+        cum = np.cumsum(p, axis=-1)
+        cut = (cum < top_p).sum(-1)
+        for b in range(2):
+            kth = srt[b, cut[b]]
+            keep_oracle = lf[b] >= kth
+            keep_got = np.isfinite(got[b])
+            # identical keep-sets up to fp32-vs-fp64 boundary ties (<=2 tokens)
+            assert np.abs(keep_oracle.sum() - keep_got.sum()) <= 2, (
+                top_p, keep_oracle.sum(), keep_got.sum())
+            assert keep_got.sum() >= 1

@@ -139,3 +139,31 @@ def test_run_qlora_smoke(tmp_path):
     cfg2, params2 = load_checkpoint(out["export"])
     import jax.numpy as jnp
     assert params2["layers"]["attn"]["wq"].dtype != jnp.int8
+
+
+def test_checkpoint_save_total_limit_one(tmp_path):
+    """Sync mode honors save_total_limit=1 exactly; async mode holds at
+    most limit+1 until the next join and wait() re-enforces the limit."""
+    import jax
+    from gritlm_tpu.config import tiny_mistral
+    from gritlm_tpu.models import init_params
+    from gritlm_tpu.training.checkpoint import CheckpointManager
+    from gritlm_tpu.training.train import TrainConfig, init_train_state
+
+    cfg = tiny_mistral()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    tc = TrainConfig(mode="embedding", total_steps=4)
+    state = init_train_state(params, tc)
+
+    sync = CheckpointManager(str(tmp_path / "s"), save_total_limit=1,
+                             async_save=False)
+    for step in (1, 2, 3):
+        sync.save(state._replace(step=jax.numpy.asarray(step)))
+        assert sync.all_steps() == [step]
+
+    an = CheckpointManager(str(tmp_path / "a"), save_total_limit=1,
+                          async_save=True)
+    for step in (1, 2):
+        an.save(state._replace(step=jax.numpy.asarray(step)))
+    an.wait()
+    assert an.all_steps() == [2]
