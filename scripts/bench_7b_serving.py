@@ -1,0 +1,77 @@
+"""7B-class serving on ONE v5e chip via int8 quantization.
+
+The reference's flagship model is Mistral-7B (GritLM-7B). In bf16 a 7B
+model cannot serve on a single 16GB v5e at all: ~14.5 GB of weights plus
+a batch-8 4k KV cache (~3 GB) exceed HBM before activations. The w8a16 +
+int8-KV serving stack fits with room to spare (~7.3 GB weights + ~2.2 GB
+cache) — this script measures decode ms/token at the reference's scale.
+
+Weights are random (no checkpoint download in this environment; decode
+bandwidth does not depend on weight values). Params are initialized and
+quantized on the HOST (132 GB RAM) and shipped to the chip already-int8,
+since quantizing on-device would need bf16+int8 resident simultaneously.
+
+Run: python scripts/bench_7b_serving.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+B, BUCKET, PROMPT, STEPS = 8, 4096, 3000, 64
+
+
+def main() -> None:
+    import jax
+
+    os.makedirs("/tmp/gritlm_tpu_jax_cache", exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", "/tmp/gritlm_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import numpy as np
+
+    from gritlm_tpu.config import mistral_7b
+    from gritlm_tpu.models import init_params
+    from gritlm_tpu.training.quant import quantize_for_serving, quantized_bytes
+
+    import dataclasses
+
+    # GritLM-7B geometry (Mistral-7B; sliding window per base config —
+    # exercises the windowed decode-kernel branch on real hardware)
+    cfg = dataclasses.replace(mistral_7b(), sliding_window=4096)
+
+    t0 = time.time()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = init_params(cfg, jax.random.PRNGKey(0), with_lm_head=True)
+        params = quantize_for_serving(params)
+        params = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    gb = quantized_bytes(params) / 2**30
+    print(f"host init+quantize: {gb:.2f} GiB int8 in {time.time() - t0:.0f}s",
+          flush=True)
+
+    t0 = time.time()
+    dev = jax.devices()[0]
+    params = jax.device_put(params, dev)
+    jax.block_until_ready(params)
+    print(f"host->chip transfer: {time.time() - t0:.0f}s "
+          f"({gb / max(time.time() - t0, 1e-9):.2f} GiB/s)", flush=True)
+
+    import bench
+
+    ms = bench.bench_decode(cfg, params, quant=True)
+    result = {
+        "metric": "decode_ms_per_token_4k_cache_b8_7b_int8w_int8kv",
+        "value": round(ms, 3),
+        "unit": "ms/token",
+        "note": "7B bf16 (14.5GB weights + 3GB cache) does not fit one v5e;"
+                " int8 serving does (~9.6GB) — enablement, not just speedup",
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()
