@@ -101,14 +101,18 @@ def gsm8k_prompt(
 ) -> str:
     """open-instruct eval.gsm chat prompt: the n-shot CoT exemplars and the
     target question ride in ONE user turn as 'Question:'/'Answer:' blocks
-    (n_shot=8 in the reference run, scripts/generative_eval.sh:24)."""
+    (n_shot=8 in the reference run, scripts/generative_eval.sh:24), and the
+    'Answer:' cue for the target question is appended AFTER the chat
+    template (open-instruct run_eval: `prompt += "Answer:" if prompt[-1]
+    in ["\\n", " "] else " Answer:"`)."""
     parts = ["Answer the following questions.\n"]
     for s in few_shot:
         sol = s.get("solution") if cot else None
         ans = sol if sol is not None else str(s["answer"])
         parts.append(f"Question: {s['question'].strip()}\nAnswer: {ans.strip()}")
     parts.append(f"Question: {question.strip()}")
-    return format_chat(["\n\n".join(parts)], fmt=fmt)
+    prompt = format_chat(["\n\n".join(parts)], fmt=fmt)
+    return prompt + ("Answer:" if prompt[-1] in ("\n", " ") else " Answer:")
 
 
 def eval_mmlu(

@@ -67,11 +67,17 @@ def _load_model(args):
     kwargs = dict(mode="embedding", pooling_method=args.pooling_method,
                   attn=args.attn, projection=args.embedding_head)
     if args.model_name_or_path:
-        return GritLM.from_pretrained(args.model_name_or_path, **kwargs)
+        return GritLM.from_pretrained(args.model_name_or_path,
+                                      dtype=args.dtype, **kwargs)
     if args.model_preset:
+        import dataclasses
+
         from gritlm_tpu import config as cfgmod
 
-        return GritLM(getattr(cfgmod, args.model_preset)(), **kwargs)
+        cfg = getattr(cfgmod, args.model_preset)()
+        if args.dtype:
+            cfg = dataclasses.replace(cfg, dtype=args.dtype)
+        return GritLM(cfg, **kwargs)
     raise SystemExit("pass --model_name_or_path or --model_preset")
 
 

@@ -73,8 +73,8 @@ def nucleus_filter(logits: jax.Array, top_p: float) -> jax.Array:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "cfg", "max_new_tokens", "temperature", "top_k", "top_p", "eos_id",
-        "pad_id",
+        "cfg", "max_new_tokens", "min_new_tokens", "temperature", "top_k",
+        "top_p", "eos_id", "pad_id",
     ),
 )
 def generate(
@@ -86,6 +86,7 @@ def generate(
     key: jax.Array,
     *,
     max_new_tokens: int = 16,
+    min_new_tokens: int = 0,  # suppress EOS for the first N tokens
     temperature: float = 0.0,
     top_k: int = 0,
     top_p: float = 1.0,  # static, like temperature/top_k: one compiled
@@ -112,10 +113,12 @@ def generate(
     logits = logits_from_hidden(params, cfg, last_hidden[:, None, :])[:, 0]
 
     key, k0 = jax.random.split(key)
+    if min_new_tokens >= 1:  # EOS suppressed until min_new_tokens emitted
+        logits = logits.at[:, eos_id].set(-jnp.inf)
     tok0 = _sample(logits, k0, temperature, top_k, top_p)
     done0 = tok0 == eos_id
 
-    def step(carry, _):
+    def step(carry, i):
         cache, tok, done, key = carry
         step_mask = jnp.logical_not(done).astype(jnp.int32)[:, None]
         pos = jnp.sum(cache.mask, axis=1)[:, None]
@@ -126,6 +129,11 @@ def generate(
         )
         logits = logits_from_hidden(params, cfg, hidden)[:, 0]
         key, k = jax.random.split(key)
+        # i = index of the token being sampled; -inf + 0.0 keeps the add
+        # a no-op once past min_new_tokens
+        logits = logits.at[:, eos_id].add(
+            jnp.where(i < min_new_tokens, -jnp.inf, 0.0)
+        )
         nxt = _sample(logits, k, temperature, top_k, top_p)
         nxt = jnp.where(done, pad_id, nxt)
         done = done | (nxt == eos_id)
@@ -133,7 +141,7 @@ def generate(
 
     if max_new_tokens > 1:
         (cache, _, _, _), rest = jax.lax.scan(
-            step, (cache, tok0, done0, key), None, length=max_new_tokens - 1
+            step, (cache, tok0, done0, key), jnp.arange(1, max_new_tokens)
         )
         tokens = jnp.concatenate([tok0[:, None], rest.T], axis=1)
     else:

@@ -202,11 +202,14 @@ class GritLM:
     # ------------------------------------------------------------------ utils
 
     @classmethod
-    def from_pretrained(cls, path: str, **kwargs) -> "GritLM":
+    def from_pretrained(cls, path: str, dtype=None, **kwargs) -> "GritLM":
+        """`dtype` overrides the checkpoint's torch_dtype (e.g. 'float16'
+        keeps fp16 numerics instead of the bfloat16 promotion)."""
         from gritlm_tpu.models.loader import load_checkpoint
 
         cfg, params = load_checkpoint(
-            path, with_lm_head=(kwargs.get("mode", "unified") != "embedding")
+            path, with_lm_head=(kwargs.get("mode", "unified") != "embedding"),
+            dtype=dtype,
         )
         tok = load_tokenizer(path)
         return cls(cfg, params=params, tokenizer=tok, **kwargs)
@@ -289,10 +292,7 @@ class GritLM:
             n_rows = ids.shape[0]
             if self._batch_sharding is not None:
                 # pad rows to the mesh's batch-shard count, shard over devices
-                shards = int(np.prod([
-                    self.mesh.shape[a] for a in self._batch_sharding.spec[0]
-                ]))
-                padr = -n_rows % shards
+                padr = -n_rows % self._batch_shards()
                 if padr:
                     ids = np.pad(ids, ((0, padr), (0, 0)),
                                  constant_values=self.tokenizer.pad_token_id)
@@ -379,6 +379,7 @@ class GritLM:
         *,
         cache: Optional[KVCache] = None,
         max_new_tokens: int = 16,
+        min_new_tokens: int = 0,
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
@@ -467,14 +468,23 @@ class GritLM:
             put_batch(jnp.asarray(input_ids)),
             put_batch(jnp.asarray(attention_mask)), cache,
             jax.random.PRNGKey(seed),
-            max_new_tokens=max_new_tokens, temperature=temperature, top_k=top_k,
-            top_p=top_p,
+            max_new_tokens=max_new_tokens, min_new_tokens=min_new_tokens,
+            temperature=temperature, top_k=top_k, top_p=top_p,
             eos_id=self.tokenizer.eos_token_id, pad_id=self.tokenizer.pad_token_id,
         )
         if res.tokens.shape[0] != n_rows:  # drop mesh pad rows
+            c = res.cache
             res = GenerateResult(
                 tokens=res.tokens[:n_rows], num_valid=res.num_valid[:n_rows],
-                cache=res.cache,
+                # trim the cache rows too (like encode does) so res.cache is
+                # reusable in a follow-up call — a padded cache would be
+                # re-padded against a differently-padded prompt and diverge
+                cache=KVCache(
+                    k=c.k[:, :n_rows], v=c.v[:, :n_rows],
+                    mask=c.mask[:n_rows], length=c.length,
+                    k_scale=c.k_scale[:, :n_rows] if c.quantized else None,
+                    v_scale=c.v_scale[:, :n_rows] if c.quantized else None,
+                ),
             )
         return res
 
@@ -483,6 +493,7 @@ class GritLM:
         prompts: Union[str, List[str]],
         *,
         max_new_tokens: int = 16,
+        min_new_tokens: int = 0,
         temperature: float = 0.0,
         top_k: int = 0,
         top_p: float = 1.0,
@@ -500,6 +511,7 @@ class GritLM:
         res = self.generate_from_ids(
             enc["input_ids"], enc["attention_mask"],
             cache=cache, max_new_tokens=max_new_tokens,
+            min_new_tokens=min_new_tokens,
             temperature=temperature, top_k=top_k, top_p=top_p, seed=seed,
         )
         toks = np.asarray(res.tokens)

@@ -48,9 +48,14 @@ def _np_cast(x: np.ndarray, dtype) -> np.ndarray:
 def load_checkpoint(
     path: str, with_lm_head: bool = True, dtype=None
 ) -> Tuple[ModelConfig, dict]:
-    cfg = ModelConfig.from_hf_config(os.path.join(path, "config.json"))
+    """`dtype` overrides the checkpoint dtype for BOTH the config and the
+    tensors (e.g. dtype='float16' keeps fp16 numerics instead of the
+    TPU-default bfloat16 promotion, cf. config.from_hf_config)."""
+    cfg = ModelConfig.from_hf_config(
+        os.path.join(path, "config.json"), dtype=dtype
+    )
     tensors = _open_all_tensors(path)
-    dt = np.dtype(dtype) if dtype is not None else np.dtype(cfg.jnp_dtype)
+    dt = np.dtype(cfg.jnp_dtype)
 
     def get(name: str, transpose: bool = False) -> np.ndarray:
         x = tensors[name]

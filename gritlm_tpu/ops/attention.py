@@ -129,7 +129,7 @@ def cached_attention(
     causal: bool,
     sliding_window: Optional[int] = None,
     num_kv_heads: Optional[int] = None,
-    k_scale: Optional[jax.Array] = None,  # int8 cache: [L, B, Smax, Kv]
+    k_scale: Optional[jax.Array] = None,  # int8 cache, slot-minor: [L, B, Kv, Smax]
     v_scale: Optional[jax.Array] = None,
     impl: str = "auto",
 ) -> jax.Array:

@@ -268,10 +268,11 @@ def _decode_call(
     )(*operands)
 
 
-def _pick_bk(smax: int, kd: int) -> Optional[int]:
-    """Largest chunk length whose NBUF-deep K+V ring fits the VMEM budget."""
+def _pick_bk(smax: int, kd: int, itemsize: int = 2) -> Optional[int]:
+    """Largest chunk length whose NBUF-deep K+V ring fits the VMEM budget
+    (itemsize = the cache dtype's bytes: 1 for int8, 2 bf16, 4 fp32)."""
     for bk in (512, 256, 128):
-        if smax % bk == 0 and NBUF * 2 * bk * kd * 2 <= VMEM_BUDGET:
+        if smax % bk == 0 and NBUF * 2 * bk * kd * itemsize <= VMEM_BUDGET:
             return bk
     return None
 
@@ -311,7 +312,7 @@ def flash_decode(
     HRP = RP * Hkv
     if HRP * KD * 4 > MAX_ACC_BYTES:
         raise NotImplementedError("decode kernel: accumulator too large")
-    bk = _pick_bk(Smax, KD)
+    bk = _pick_bk(Smax, KD, itemsize=k.dtype.itemsize)
     if bk is None:
         raise NotImplementedError(
             f"decode kernel: Smax {Smax} has no VMEM-friendly chunking"

@@ -88,11 +88,13 @@ class RAGEngine:
         model,  # gritlm_tpu.GritLM in unified mode
         index: Optional[FlatIndex] = None,
         max_new_tokens: int = 16,
+        min_new_tokens: int = 0,
         encode_max_length: int = 2048,
     ):
         self.model = model
         self.index = index
         self.max_new_tokens = max_new_tokens
+        self.min_new_tokens = min_new_tokens
         self.encode_max_length = encode_max_length
         self._doc_cache: Dict[int, Any] = {}  # doc id → KVCache (device memo)
         # build-time store: (doc id, after_query) → (k, v, width) host numpy
@@ -405,6 +407,7 @@ class RAGEngine:
         res = self.model.generate_from_ids(
             enc["input_ids"], enc["attention_mask"],
             cache=kv_cache, max_new_tokens=mnt,
+            min_new_tokens=self.min_new_tokens,
         )
         toks = np.asarray(res.tokens)
         nv = np.asarray(res.num_valid)

@@ -95,11 +95,17 @@ def _load_model(args):
                   attn=args.attn, kv_quant=args.kv_quant,
                   weight_quant=args.weight_quant)
     if args.model_name_or_path:
-        return GritLM.from_pretrained(args.model_name_or_path, **kwargs)
+        return GritLM.from_pretrained(args.model_name_or_path,
+                                      dtype=args.dtype, **kwargs)
     if args.model_preset:
+        import dataclasses
+
         from gritlm_tpu import config as cfgmod
 
-        return GritLM(getattr(cfgmod, args.model_preset)(), **kwargs)
+        cfg = getattr(cfgmod, args.model_preset)()
+        if args.dtype:
+            cfg = dataclasses.replace(cfg, dtype=args.dtype)
+        return GritLM(cfg, **kwargs)
     raise SystemExit("pass --model_name_or_path or --model_preset")
 
 
@@ -147,6 +153,7 @@ def main(argv=None) -> dict:
     else:
         encode_max_length = 2048
     engine = RAGEngine(model, max_new_tokens=args.max_new_tokens,
+                       min_new_tokens=args.min_new_tokens,
                        encode_max_length=encode_max_length)
 
     cache_docs = args.cache_docs or (

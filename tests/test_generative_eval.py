@@ -116,6 +116,7 @@ def test_gsm8k_prompt_golden_fixture():
         "Question: 1+1?\nAnswer: 1+1 = 2. The answer is 2\n\n"
         "Question: If I have 3 apples and eat 1, how many remain?"
         "\n<|assistant|>\n"
+        "Answer:"  # appended after the chat template, open-instruct style
     )
     assert got == want
 

@@ -240,3 +240,18 @@ def test_nucleus_filter_fp32_on_bf16_logits():
             assert np.abs(keep_oracle.sum() - keep_got.sum()) <= 2, (
                 top_p, keep_oracle.sum(), keep_got.sum())
             assert keep_got.sum() >= 1
+
+
+def test_min_new_tokens_suppresses_eos():
+    """min_new_tokens blocks EOS until N tokens are emitted (reference
+    rag/eval.py --min_new_tokens); with N == max_new_tokens no EOS can
+    appear at all and every row is fully valid."""
+    import numpy as np
+    m = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0)
+    enc = m.tokenizer(["<|user|>\nHi\n<|assistant|>\n"] * 3)
+    res = m.generate_from_ids(enc["input_ids"], enc["attention_mask"],
+                              max_new_tokens=6, min_new_tokens=6,
+                              temperature=0.8, seed=7)
+    toks = np.asarray(res.tokens)
+    assert (toks != m.tokenizer.eos_token_id).all()
+    assert (np.asarray(res.num_valid) == 6).all()
