@@ -214,6 +214,50 @@ def to_latex(summaries: Dict[str, Dict[str, Tuple[float, int, int]]]) -> str:
     )
 
 
+LMEVAL_DS_NAMES = {
+    "arc_challenge": "ARC-C", "arc_easy": "ARC-E", "boolq": "BoolQ",
+    "piqa": "PIQA", "winogrande": "Winogrande",
+}
+
+
+def lmeval_table(results_files: Dict[str, str]) -> str:
+    """LaTeX table from LM-eval-harness `rank_eval.json` files, one column
+    per model ({model_name: path}) — reference scripts/lmeval_to_tex.py:
+    per-dataset `acc`*100 plus a trailing Average row."""
+    import json as _json
+    import statistics
+
+    per_ds: Dict[str, list] = {}
+    avgs = []
+    for _, path in results_files.items():
+        with open(path) as f:
+            results = _json.load(f)["results"]
+        accs = []
+        for ds, v in sorted(results.items()):
+            if "acc" in v:
+                name = LMEVAL_DS_NAMES.get(ds, ds)
+                per_ds.setdefault(name, []).append(round(v["acc"] * 100, 2))
+                accs.append(v["acc"])
+        avgs.append(round(statistics.mean(accs) * 100, 2) if accs else
+                    float("nan"))
+    lines = ["Model & " + " & ".join(results_files) + r" \\"]
+    for ds, vals in sorted(per_ds.items()):
+        lines.append(ds + " & " + " & ".join(str(x) for x in vals) + r" \\")
+    lines.append("Average & " + " & ".join(str(x) for x in avgs) + r" \\")
+    return "\n".join(lines)
+
+
+def alpaca_median_length(path: str) -> int:
+    """Median AlpacaEval generation length in characters (reference
+    scripts/alpaca_median.py — used to report length-controlled wins)."""
+    import json as _json
+
+    with open(path) as f:
+        data = [_json.loads(line) for line in f if line.strip()]
+    lengths = sorted(len(d["output"]) for d in data)
+    return lengths[len(lengths) // 2]
+
+
 def main(argv=None) -> None:
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("results_dir",

@@ -60,3 +60,21 @@ def test_collect_and_summarize(tmp_path):
     assert "| Retrieval | 70.00 | 1/15 |" in md
     tex = to_latex({"my_model": s})
     assert r"my\_model" in tex and r"\toprule" in tex
+
+
+def test_lmeval_table_and_alpaca_median(tmp_path):
+    import json
+    from gritlm_tpu.eval.aggregate import alpaca_median_length, lmeval_table
+
+    r = {"results": {"arc_easy": {"acc": 0.75, "acc_norm": 0.8},
+                     "boolq": {"acc": 0.6}}}
+    p = tmp_path / "rank_eval.json"
+    p.write_text(json.dumps(r))
+    tex = lmeval_table({"m7": str(p)})
+    assert "ARC-E & 75.0" in tex and "BoolQ & 60.0" in tex
+    assert "Average & 67.5" in tex
+
+    out = tmp_path / "alpaca.json"
+    out.write_text("\n".join(json.dumps({"output": "x" * n})
+                             for n in (3, 10, 5)))
+    assert alpaca_median_length(str(out)) == 5
