@@ -47,7 +47,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 NBUF = 4  # DMA ring depth (AHEAD = NBUF - 1 chunks in flight)
-MAX_ACC_BYTES = 4 * 2**20  # [rows, Kv*Dh] fp32 accumulator budget
+# [rows, Kv*Dh] fp32 accumulator budget. 2 MiB caps HRP*KD at 512K —
+# Mosaic's live temporaries (scores/probs/iotas/scale-repeats) scale with
+# HRP and blew the 16 MiB scoped-vmem limit at HRP=1024*KD=1024 (measured
+# 18.4 MiB on v5e); prefill-sized Sq falls back to the einsum path, which
+# is cheap at exactly those shapes.
+MAX_ACC_BYTES = 2 * 2**20
 VMEM_BUDGET = 12 * 2**20
 
 
@@ -268,11 +273,21 @@ def _decode_call(
     )(*operands)
 
 
-def _pick_bk(smax: int, kd: int, itemsize: int = 2) -> Optional[int]:
-    """Largest chunk length whose NBUF-deep K+V ring fits the VMEM budget
-    (itemsize = the cache dtype's bytes: 1 for int8, 2 bf16, 4 fp32)."""
+def _pick_bk(
+    smax: int, kd: int, hrp: int, itemsize: int = 2, quant: bool = False
+) -> Optional[int]:
+    """Largest chunk length fitting the VMEM budget. Accounts for the FULL
+    per-invocation footprint, not just the DMA ring: q + out (bf16) and
+    the fp32 accumulator scale with HRP (large at prefill-sized Sq), and
+    the score/prob matrices scale with HRP*bk. itemsize = cache dtype
+    bytes (1 int8, 2 bf16, 4 fp32)."""
+    fixed = hrp * kd * (2 + 2 + 4)  # q, out, accumulator
+    if quant:
+        fixed += NBUF * 2 * (kd // 128) * 512 * 2  # scale ring upper bound
     for bk in (512, 256, 128):
-        if smax % bk == 0 and NBUF * 2 * bk * kd * itemsize <= VMEM_BUDGET:
+        ring = NBUF * 2 * bk * kd * itemsize
+        sp = 2 * hrp * bk * 4  # score + prob matrices, fp32
+        if smax % bk == 0 and fixed + ring + sp <= VMEM_BUDGET:
             return bk
     return None
 
@@ -312,7 +327,8 @@ def flash_decode(
     HRP = RP * Hkv
     if HRP * KD * 4 > MAX_ACC_BYTES:
         raise NotImplementedError("decode kernel: accumulator too large")
-    bk = _pick_bk(Smax, KD, itemsize=k.dtype.itemsize)
+    bk = _pick_bk(Smax, KD, HRP, itemsize=k.dtype.itemsize,
+                  quant=k_scale is not None)
     if bk is None:
         raise NotImplementedError(
             f"decode kernel: Smax {Smax} has no VMEM-friendly chunking"
