@@ -74,6 +74,14 @@ def _doc_fields(p: dict) -> dict:
     return {"title": p.get("title", ""), "text": p.get("text", "")}
 
 
+def _doc_string(p: dict) -> str:
+    """The exact string GritLM.encode_corpus embeds for a passage dict
+    (reference gritlm/gritlm.py encode_corpus: title + ' ' + text). Used
+    for every doc-cache encode so index embeddings and KV caches tokenize
+    the SAME document string."""
+    return p["title"] + " " + p["text"] if "title" in p else p["text"]
+
+
 @dataclasses.dataclass
 class RAGResult:
     answer: str
@@ -96,17 +104,21 @@ class RAGEngine:
         self.max_new_tokens = max_new_tokens
         self.min_new_tokens = min_new_tokens
         self.encode_max_length = encode_max_length
-        self._doc_cache: Dict[int, Any] = {}  # doc id → KVCache (device memo)
+        # per-doc device memos for the B==1 path (the reference stores doc
+        # caches in doc_map at build, rag/eval.py:137-148) — LRU-bounded:
+        # each entry pins a full per-doc KV cache in HBM
+        self._doc_cache: "OrderedDict[Any, Any]" = OrderedDict()
+        self._doc_cache_limit = 4
         # build-time store: (doc id, after_query) → (k, v, width) host numpy
         # (the reference's doc_map[i]["kv_cache"] + move_cache_to_cpu,
         # rag/eval.py:124-150)
         self._doc_store: Dict[Any, Any] = {}
-        # device-resident memo of the last stacked doc-cache batch: repeat
+        # device-resident memo of the LAST stacked doc-cache batch: repeat
         # hits on the same doc set skip the host→device transfer (the
         # reference keeps doc caches accelerator-resident unless
-        # move_cache_to_cpu; bounded to 1 entry to protect HBM — see the
-        # eviction loop in answer_batch)
-        self._stacked_memo: "OrderedDict[Any, Any]" = OrderedDict()
+        # move_cache_to_cpu; a single entry — two 8k-doc stacked caches
+        # plus the generation cache overflow a 16GB chip)
+        self._stacked_last: Optional[tuple] = None  # (key, KVCache)
 
     # ------------------------------------------------------------------ build
 
@@ -123,6 +135,10 @@ class RAGEngine:
         rag/eval.py:124-150). With `cache_docs`, also precompute every
         passage's KV cache into a host-resident store (the production shape:
         per-doc caches computed once at build, fetched per hit)."""
+        # a new corpus invalidates every cache keyed by doc id
+        self._doc_cache.clear()
+        self._doc_store.clear()
+        self._stacked_last = None
         embs = self.model.encode_corpus(
             list(passages),
             batch_size=batch_size,
@@ -149,7 +165,7 @@ class RAGEngine:
         for start in range(0, n, batch_size):
             docs = self.index.passages[start : start + batch_size]
             doc_strs = [
-                (p.get("title", "") + " " + p["text"]).strip() for p in docs
+                _doc_string(p) for p in docs
             ]
             _, cache = self.model.encode(
                 doc_strs,
@@ -222,11 +238,14 @@ class RAGEngine:
         (cache lengths + bucketed continuation prompt + new tokens, via
         GritLM.required_cache_len — the same formula generate_from_ids
         applies), so concat_caches sizes its buffer once and the follow-up
-        pad_cache_to is a no-op — halves peak memory for the concat modes."""
+        pad_cache_to is a no-op — halves peak memory for the concat modes.
+        The concat-mode prompts are one fixed template, so one tokenizer
+        pass over a single string suffices."""
+        assert len(set(prompts)) == 1, "concat-mode prompts are identical"
         enc = self.model.tokenizer(
-            [p + ANSWER_PROMPT for p in prompts], add_special_tokens=False
+            [prompts[0] + ANSWER_PROMPT], add_special_tokens=False
         )
-        plen = max(len(r) for r in enc["input_ids"])
+        plen = len(enc["input_ids"][0])
         return self.model.required_cache_len(
             plen, int(a.length) + int(b.length), mnt
         )
@@ -236,7 +255,7 @@ class RAGEngine:
         the whole corpus at build time; reference stores it in doc_map,
         rag/eval.py:137-148)."""
         p = self.index.passages[doc_id]
-        doc_str = (p.get("title", "") + " " + p["text"]).strip()
+        doc_str = _doc_string(p)
         if mode == CacheMode.QUERYDOC:
             # doc cache sits *after* the query cache → no bos, leading newline
             instruction = "\n" + gritlm_instruction("")
@@ -252,6 +271,8 @@ class RAGEngine:
             get_cache=True,
         )
         self._doc_cache[(doc_id, mode == CacheMode.QUERYDOC)] = cache
+        while len(self._doc_cache) > self._doc_cache_limit:
+            self._doc_cache.popitem(last=False)
 
     # ----------------------------------------------------------------- answer
 
@@ -259,7 +280,6 @@ class RAGEngine:
         self,
         query: str,
         mode: CacheMode = CacheMode.PROMPT_QUERY_DOC,
-        gold_answers: Optional[List[str]] = None,
         max_new_tokens: Optional[int] = None,
     ) -> RAGResult:
         """Answer one query under the given cache mode. Returns the answer,
@@ -324,32 +344,25 @@ class RAGEngine:
                 memo_key = (doc_ids[0], after_query)
                 stack_key = (tuple(doc_ids), after_query)
                 stored = (
-                    self._stacked_memo.get(stack_key)
-                    or self._fetch_doc_caches(doc_ids, after_query)
+                    self._stacked_last[1]
+                    if self._stacked_last and self._stacked_last[0] == stack_key
+                    else self._fetch_doc_caches(doc_ids, after_query)
                 )
                 if stored is not None:
                     # genuinely precomputed at build time (host store) —
                     # fetch + device_put counts as serving cost, no exclusion;
-                    # repeat hits on the same doc set stay device-resident
+                    # a repeat hit on the same doc set stays device-resident
                     d_cache = stored
-                    self._stacked_memo[stack_key] = stored
-                    self._stacked_memo.move_to_end(stack_key)
-                    # one resident entry: two 8k-doc stacked caches plus the
-                    # generation cache overflow a 16GB chip (the reference
-                    # keeps ALL doc caches device-resident unless
-                    # move_cache_to_cpu — our host store is the capacity
-                    # path, this memo is just the hot-hit fast path)
-                    while len(self._stacked_memo) > 1:
-                        self._stacked_memo.popitem(last=False)
+                    self._stacked_last = (stack_key, stored)
                 elif B == 1 and memo_key in self._doc_cache:
                     # single-query path reuses per-doc caches (the reference
                     # stores them in doc_map at build time, rag/eval.py:137-148)
                     d_cache = self._doc_cache[memo_key]
+                    self._doc_cache.move_to_end(memo_key)
                 else:
                     te = time.perf_counter()
                     doc_strs = [
-                        (p[0].get("title", "") + " " + p[0]["text"]).strip()
-                        for p in passages
+                        _doc_string(p[0]) for p in passages
                     ]
                     _, d_cache = self.model.encode(
                         doc_strs,
@@ -362,6 +375,8 @@ class RAGEngine:
                     excluded += time.perf_counter() - te
                     if B == 1:
                         self._doc_cache[memo_key] = d_cache
+                        while len(self._doc_cache) > self._doc_cache_limit:
+                            self._doc_cache.popitem(last=False)
             else:
                 d_cache = None
 
@@ -404,6 +419,19 @@ class RAGEngine:
         enc = self.model.tokenizer(
             prompts, max_length=prompt_budget, add_special_tokens=add_special
         )
+        if kv_cache is None and any(
+            len(r) >= prompt_budget for r in enc["input_ids"]
+        ):
+            # truncation keeps the prefix, so an over-long document would
+            # silently eat the query/template tail — say so (raise
+            # encode_max_length to widen the budget)
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "prompt-mode input hit the %d-token budget and was "
+                "truncated; the query/answer template may be cut off "
+                "(raise encode_max_length)", prompt_budget,
+            )
         res = self.model.generate_from_ids(
             enc["input_ids"], enc["attention_mask"],
             cache=kv_cache, max_new_tokens=mnt,
