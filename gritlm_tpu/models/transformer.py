@@ -241,14 +241,18 @@ def init_cache(
 
 def quantize_kv(x: jax.Array) -> tuple:
     """x [B, S, Kv, Dh] → (int8 [B, S, Kv*Dh], scale bf16 [B, S, Kv])
-    per-(slot, head) absmax quantization."""
+    per-(slot, head) absmax quantization. The scale is rounded to bf16
+    BEFORE quantizing so the stored int8 values were produced with the
+    exact scale the decode kernel dequantizes with (quantizing with the
+    fp32 scale would add a systematic ≤0.4% bias per value)."""
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1)  # [B, S, Kv]
-    scale = jnp.maximum(amax / 127.0, 1e-8)
+    scale = jnp.maximum(amax / 127.0, 1e-8).astype(jnp.bfloat16)
     q = jnp.clip(
-        jnp.round(x.astype(jnp.float32) / scale[..., None]), -127, 127
+        jnp.round(x.astype(jnp.float32) / scale.astype(jnp.float32)[..., None]),
+        -127, 127,
     ).astype(jnp.int8)
     B, S, Kv, Dh = x.shape
-    return q.reshape(B, S, Kv * Dh), scale.astype(jnp.bfloat16)
+    return q.reshape(B, S, Kv * Dh), scale
 
 
 def _attention_block(
