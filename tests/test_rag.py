@@ -130,3 +130,31 @@ def test_rag_engine_multichip_end_to_end():
         r2 = e_mesh.answer_batch(list(queries), mode=mode)
         assert [r.answer for r in r1] == [r.answer for r in r2], mode
         assert [r.passages for r in r1] == [r.passages for r in r2], mode
+
+
+def test_rebuild_invalidates_doc_caches():
+    """build_index on a new corpus must drop every doc-id-keyed cache: a
+    stale per-doc / stacked cache from the old corpus must never be served
+    for the new corpus's doc ids (review finding)."""
+    model = GritLM(tiny_mistral(), mode="unified", attn="bbcc")
+    eng = RAGEngine(model, max_new_tokens=4, encode_max_length=64)
+
+    corpus_a = [{"title": "", "text": f"alpha document {i}"} for i in range(4)]
+    eng.build_index(corpus_a, batch_size=4, cache_docs=True)
+    ra = eng.answer_batch(["alpha?"], mode=CacheMode.DOC)
+    assert eng._doc_store  # populated for corpus A
+
+    corpus_b = [{"title": "", "text": f"beta passage {i}"} for i in range(4)]
+    eng.build_index(corpus_b, batch_size=4, cache_docs=False)
+    assert not eng._doc_store and not eng._doc_cache
+    assert eng._stacked_last is None
+    rb = eng.answer_batch(["beta?"], mode=CacheMode.DOC)
+    # the served passage comes from corpus B, and the on-the-fly encode was
+    # for that passage (no stale A-cache could exist)
+    assert "beta" in rb[0].passages[0]["text"]
+
+    # reference (independent engine) on corpus B must agree exactly
+    eng2 = RAGEngine(model, max_new_tokens=4, encode_max_length=64)
+    eng2.build_index(corpus_b, batch_size=4, cache_docs=False)
+    rb2 = eng2.answer_batch(["beta?"], mode=CacheMode.DOC)
+    assert rb[0].answer == rb2[0].answer
