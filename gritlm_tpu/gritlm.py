@@ -262,11 +262,9 @@ class GritLM:
             )
             return np.zeros((0, dim), np.float32)
 
-        instr_len = 0
-        if instruction and not embed_instruction and "mean" in self.pooling_method:
-            instr_len = self.tokenizer.tokenize_len(
-                instruction, add_special_tokens=add_special_tokens
-            )
+        mask_instr = bool(
+            instruction and not embed_instruction and "mean" in self.pooling_method
+        )
 
         all_embeddings, all_kv_caches = [], None
         for start in range(0, len(sentences), batch_size):
@@ -287,8 +285,18 @@ class GritLM:
                              constant_values=self.tokenizer.pad_token_id)
                 mask = np.pad(mask, ((0, 0), (0, padw)))
             pmask = mask.copy()
-            if instr_len:
-                pmask[:, :instr_len] = 0
+            if mask_instr:
+                # per-row instruction lengths with BPE boundary-merge
+                # detect-and-correct (tokenizer.instruction_token_lens)
+                from gritlm_tpu.tokenizer import instruction_token_lens
+
+                ilens = instruction_token_lens(
+                    self.tokenizer, instruction, ids, mask,
+                    add_special_tokens=add_special_tokens,
+                )
+                pmask = pmask * (
+                    np.arange(ids.shape[1])[None, :] >= ilens[:, None]
+                ).astype(pmask.dtype)
             n_rows = ids.shape[0]
             if self._batch_sharding is not None:
                 # pad rows to the mesh's batch-shard count, shard over devices

@@ -10,10 +10,13 @@ the bubble is the usual (S-1)/(M+S-1). Backward comes from jax.grad through
 the schedule (ppermute/scan are differentiable), so pipelined *training*
 works too; activation memory is bounded with per-layer remat.
 
-Composition: `stage` is manual (shard_map); `data` is also manual here (pure
-batch split — forward needs no cross-batch collectives). TP/FSDP inside a
-stage are not composed in v1 — use stage × data meshes for pipelining, or
-the default GSPMD path (train.make_sharded_train_step) for tp/fsdp/ep.
+Composition: `stage` is manual (shard_map); `data` and `fsdp` are manual
+too — the batch splits over (data, fsdp) like the GSPMD step's BATCH_AXES,
+and each stage's layer params are ZeRO-3 storage-sharded over `fsdp`
+(all-gathered once per step inside the body; the cotangent of that gather is
+a reduce-scatter, so grads and optimizer state stay sharded). TP inside a
+stage is not composed in v1 — use the default GSPMD path
+(train.make_sharded_train_step) for tp/ep.
 
 Embedding, final norm and the LM head run outside the pipelined region under
 plain GSPMD (they are a tiny fraction of the FLOPs).
@@ -31,7 +34,33 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from gritlm_tpu.config import ModelConfig
 from gritlm_tpu.models.transformer import apply_layer_stack
-from gritlm_tpu.parallel.mesh import AXIS_DATA, AXIS_STAGE
+from gritlm_tpu.parallel.mesh import AXIS_DATA, AXIS_FSDP, AXIS_STAGE
+
+
+def layer_fsdp_dim(shape, n_fsdp: int):
+    """Which dim of a stacked layer leaf [L, ...] the `fsdp` axis shards
+    (ZeRO-3 storage sharding inside a pipeline stage): the first non-L dim
+    divisible by the axis size, or None (replicate small leaves)."""
+    if n_fsdp <= 1:
+        return None
+    for d in range(1, len(shape)):
+        if shape[d] % n_fsdp == 0 and shape[d] >= n_fsdp:
+            return d
+    return None
+
+
+def layer_param_pipeline_specs(layer_params, n_fsdp: int):
+    """PartitionSpec tree for the stacked layer pytree under pipeline
+    training: L over `stage`, plus one dim over `fsdp` when divisible."""
+
+    def spec(leaf):
+        d = layer_fsdp_dim(leaf.shape, n_fsdp)
+        if d is None:
+            return P(AXIS_STAGE)
+        entries = [AXIS_STAGE] + [None] * (d - 1) + [AXIS_FSDP]
+        return P(*entries)
+
+    return jax.tree_util.tree_map(spec, layer_params)
 
 
 def pipeline_apply_layers(
@@ -64,12 +93,20 @@ def pipeline_apply_layers(
     mask = (attention_mask if attention_mask is not None
             else jnp.ones(x.shape[:2], jnp.int32))
 
-    # layer slices: leading L axis sharded over `stage`; batch over `data`
-    lp_spec = jax.tree_util.tree_map(
-        lambda _: P(AXIS_STAGE), layer_params
-    )
-    x_spec = P(AXIS_DATA)  # [B, S, D] → per-shard [B/d, S, D]
-    m_spec = P(AXIS_DATA)
+    # layer slices: leading L axis sharded over `stage`; ZeRO-3-style storage
+    # sharding of each stage's params over `fsdp` (gathered once per step
+    # inside the body — the reference's FSDP×pipeline analogue, its 8x7B
+    # recipe is FSDP over 256 GPUs, train_gritlm_8x7b.sh:38-84); batch over
+    # (`data`, `fsdp`) like the GSPMD step's BATCH_AXES.
+    n_fsdp = mesh.shape.get(AXIS_FSDP, 1)
+    lp_spec = layer_param_pipeline_specs(layer_params, n_fsdp)
+    fsdp_dims = [
+        layer_fsdp_dim(l.shape, n_fsdp)
+        for l in jax.tree_util.tree_leaves(layer_params)
+    ]
+    batch_axes = (AXIS_DATA, AXIS_FSDP)
+    x_spec = P(batch_axes)  # [B, S, D] → per-shard [B/(d·f), S, D]
+    m_spec = P(batch_axes)
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -79,6 +116,17 @@ def pipeline_apply_layers(
     )
     def run(lp_local, x_local, pos_local, mask_local):
         s = jax.lax.axis_index(AXIS_STAGE)
+        if n_fsdp > 1:
+            # gather each stage's full layer params over the fsdp axis once
+            # per step; autodiff turns this into a reduce-scatter of the
+            # grads, so grads/optimizer state stay fsdp-sharded (ZeRO)
+            flat, treedef = jax.tree_util.tree_flatten(lp_local)
+            flat = [
+                x if d is None
+                else jax.lax.all_gather(x, AXIS_FSDP, axis=d, tiled=True)
+                for x, d in zip(flat, fsdp_dims)
+            ]
+            lp_local = jax.tree_util.tree_unflatten(treedef, flat)
         b = x_local.shape[0]
         if b % M:
             raise ValueError(f"per-shard batch {b} not divisible by "

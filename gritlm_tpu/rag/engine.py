@@ -195,6 +195,63 @@ class RAGEngine:
                     None if vs is None else vs[:, i, :, :w],
                 )
 
+    def save_doc_store(self, path: str) -> None:
+        """Persist the host-resident doc-cache store next to a saved index
+        (one .npz, int8-capable) so a fresh serving process can skip the
+        corpus KV precompute entirely — the build-once semantics of the
+        reference's doc_map caches (rag/eval.py:124-150), which it recomputes
+        per process. Load with `load_doc_store`."""
+        import os
+
+        import ml_dtypes
+
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        arrays: Dict[str, np.ndarray] = {}
+
+        def put(name, arr):
+            # npy can't round-trip bfloat16 (loads back as void16) — store a
+            # uint16 view under a tagged name instead
+            if arr.dtype == ml_dtypes.bfloat16:
+                arrays[name + "~bf16"] = arr.view(np.uint16)
+            else:
+                arrays[name] = arr
+
+        keys = []
+        for (doc_id, after_query), (k, v, w, ks, vs) in self._doc_store.items():
+            tag = f"{doc_id}_{int(after_query)}"
+            keys.append([int(doc_id), int(after_query), int(w), int(ks is not None)])
+            put(f"k_{tag}", k)
+            put(f"v_{tag}", v)
+            if ks is not None:
+                put(f"ks_{tag}", ks)
+                put(f"vs_{tag}", vs)
+        arrays["__keys__"] = np.asarray(keys, np.int64).reshape(-1, 4)
+        np.savez(path, **arrays)
+
+    def load_doc_store(self, path: str) -> int:
+        """Load a persisted doc-cache store; returns the number of entries.
+        Replaces the current store (caller is responsible for the store
+        matching the loaded index's doc ids)."""
+        import ml_dtypes
+
+        data = np.load(path)
+
+        def get(name):
+            if name + "~bf16" in data:
+                return data[name + "~bf16"].view(ml_dtypes.bfloat16)
+            return data[name]
+
+        self._doc_store = {}
+        self._stacked_last = None
+        for doc_id, after_query, w, quant in data["__keys__"]:
+            tag = f"{doc_id}_{int(after_query)}"
+            self._doc_store[(int(doc_id), bool(after_query))] = (
+                get(f"k_{tag}"), get(f"v_{tag}"), int(w),
+                get(f"ks_{tag}") if quant else None,
+                get(f"vs_{tag}") if quant else None,
+            )
+        return len(self._doc_store)
+
     def _fetch_doc_caches(self, doc_ids: List[int], after_query: bool):
         """Stack per-doc host caches into one device KVCache [L,B,W,...]
         (W = max doc width in the batch; mask marks each row's valid prefix).
@@ -479,6 +536,10 @@ class RAGEngine:
                 "mode": str(mode.value),
                 "avg_seconds": float(np.mean(times)) if times else 0.0,
                 "std_seconds": float(np.std(times)) if times else 0.0,
+                # robust stats: a single mid-run recompile once poisoned an
+                # avg (docs/latency_v5e_1b.md) — p50/min are outlier-immune
+                "p50_seconds": float(np.median(times)) if times else 0.0,
+                "min_seconds": float(np.min(times)) if times else 0.0,
                 "total_seconds": float(np.sum(times)),
                 "n": len(queries),
                 "predictions": preds,

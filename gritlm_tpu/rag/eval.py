@@ -165,6 +165,15 @@ def main(argv=None) -> dict:
 
             engine.index = FlatIndex.load(args.load_index_path)
             logger.info("loaded index: %d passages", len(engine.index.passages))
+            store_path = os.path.join(args.load_index_path, "doc_store.npz")
+            if os.path.exists(store_path):
+                n = engine.load_doc_store(store_path)
+                logger.info("loaded doc-cache store: %d entries "
+                            "(corpus KV precompute skipped)", n)
+            elif cache_docs:
+                engine.precompute_all_doc_caches(
+                    batch_size=min(args.embedbs, 8)
+                )
         else:
             if args.latency and args.customd:
                 from gritlm_tpu.eval.latency import synthetic_text
@@ -189,6 +198,12 @@ def main(argv=None) -> dict:
         if args.save_index_path:
             os.makedirs(args.save_index_path, exist_ok=True)
             engine.index.save(args.save_index_path, args.save_index_n_shards)
+            if engine._doc_store:
+                engine.save_doc_store(
+                    os.path.join(args.save_index_path, "doc_store.npz")
+                )
+                logger.info("saved doc-cache store (%d entries)",
+                            len(engine._doc_store))
 
     save_dir = args.save_dir or "gritlmresults"
     os.makedirs(save_dir, exist_ok=True)

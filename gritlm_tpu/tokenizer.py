@@ -168,6 +168,51 @@ class HFTokenizer:
                                 skip_special_tokens=skip_special_tokens)
 
 
+def prefix_token_len(tokenizer, prefix: str, full_ids: Sequence[int],
+                     add_special_tokens: bool = False) -> int:
+    """Count of `full_ids` tokens lying entirely inside the string `prefix`.
+
+    The reference assumes tokenize(prefix) is a token-prefix of
+    tokenize(prefix + text) and uses len(tokenize(prefix)) directly
+    (gritlm/gritlm.py:144-153; the training collator computes instruction
+    lens the same way and asserts on it, gritlm/training/data.py:184-205,
+    262-266). A BPE merge spanning the prefix/text boundary breaks that
+    assumption silently. Here we detect the divergence and correct to the
+    longest common token prefix: only tokens fully inside the instruction
+    are masked, and a boundary-straddling token keeps its text content in
+    the pooling / loss."""
+    pref_ids = tokenizer._encode_one(prefix, add_special_tokens)
+    k = 0
+    n = min(len(pref_ids), len(full_ids))
+    while k < n and int(full_ids[k]) == int(pref_ids[k]):
+        k += 1
+    return k
+
+
+def instruction_token_lens(tokenizer, instruction: str, input_ids: np.ndarray,
+                           attention_mask: np.ndarray,
+                           add_special_tokens: bool = True) -> np.ndarray:
+    """Per-row instruction token lengths for a padded batch whose rows all
+    share the same instruction prefix (the GritLM.encode case). Vectorized
+    fast path: when tokenize(instruction) is a token-prefix of every row
+    (always true for char/byte-level tokenizers, almost always for real BPE),
+    this is one numpy comparison; rows where a merge crossed the boundary get
+    the corrected longest-common-prefix length. Each row is guaranteed at
+    least one unmasked valid token (reference pooling-mask assert,
+    gritlm/training/model.py:158)."""
+    pref = np.asarray(
+        tokenizer._encode_one(instruction, add_special_tokens), np.int64
+    )
+    ids = np.asarray(input_ids)
+    L = min(len(pref), ids.shape[1])
+    if L == 0:
+        return np.zeros((ids.shape[0],), np.int64)
+    eq = ids[:, :L] == pref[None, :L]
+    lens = np.where(eq.all(axis=1), L, eq.argmin(axis=1))
+    valid = np.asarray(attention_mask).sum(axis=1)
+    return np.minimum(lens, np.maximum(valid - 1, 0))
+
+
 def load_tokenizer(path_or_none: Optional[str]):
     """Load an HF fast tokenizer from a checkpoint dir, or the byte fallback."""
     if path_or_none and os.path.exists(os.path.join(path_or_none, "tokenizer.json")):

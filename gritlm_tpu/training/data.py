@@ -21,6 +21,7 @@ from typing import Any, Dict, Iterator, List, Optional, Sequence, Tuple
 
 import numpy as np
 
+from gritlm_tpu.tokenizer import prefix_token_len
 from gritlm_tpu.training import templates as T
 
 
@@ -200,9 +201,10 @@ class GritCollator:
     numpy batches with instruction_lens (embedding pooling masks) and -100
     label masking of user turns / pads (reference data.py:143-281).
 
-    Generative prompts are tokenized *segment-by-segment* and concatenated,
-    so label masking is token-exact instead of the reference's re-tokenized
-    length arithmetic.
+    Generative prompts are tokenized whole-string (matching inference) with
+    segment boundaries recovered by longest-common-token-prefix alignment,
+    so label masking is token-exact even under BPE merges that span a
+    boundary — instead of the reference's re-tokenized length arithmetic.
     """
 
     tokenizer: Any
@@ -217,7 +219,12 @@ class GritCollator:
         for s in samples:
             prompt, prefix = T.format_embed(s)
             ids = self.tokenizer._encode_one(prompt, add_special_tokens=False)
-            plen = self.tokenizer.tokenize_len(prefix, add_special_tokens=False)
+            # longest-common-prefix alignment instead of len(tokenize(prefix))
+            # — token-exact even when a BPE merge spans the instruction/text
+            # boundary (the reference asserts the prefix assumption instead,
+            # gritlm/training/data.py:262-266)
+            plen = prefix_token_len(self.tokenizer, prefix, ids,
+                                    add_special_tokens=False)
             ids_row, mask_row = _pad_to(ids, width, self.tokenizer.pad_token_id)
             if plen >= int(mask_row.sum()):
                 raise ValueError(f"No text to embed: {prompt!r}")
@@ -240,12 +247,26 @@ class GritCollator:
                 segments = [
                     (s, l and i == last_loss) for i, (s, l) in enumerate(segments)
                 ]
-            ids: List[int] = []
-            labels: List[int] = []
+            # Whole-string tokenization (so training sees exactly the token
+            # stream inference-time generate() produces for the same chat
+            # prompt — the reference also tokenizes the full prompt once,
+            # gritlm/training/data.py:229-259), with segment boundaries
+            # recovered by longest-common-token-prefix alignment of each
+            # cumulative prefix. Token-exact under BPE merges that span a
+            # segment boundary: a straddling token is attributed to the
+            # LATER segment (loss on a token carrying assistant chars).
+            full = "".join(s for s, _ in segments)
+            ids = self.tokenizer._encode_one(full, add_special_tokens=False)
+            labels: List[int] = [-100] * len(ids)
+            cum, lo = "", 0
             for seg, is_loss in segments:
-                seg_ids = self.tokenizer._encode_one(seg, add_special_tokens=False)
-                ids.extend(seg_ids)
-                labels.extend(seg_ids if is_loss else [-100] * len(seg_ids))
+                cum += seg
+                hi = max(lo, prefix_token_len(self.tokenizer, cum, ids,
+                                              add_special_tokens=False))
+                if is_loss:
+                    labels[lo:hi] = ids[lo:hi]
+                lo = hi
+            # (for the final segment cum == full, so hi == len(ids) exactly)
             ids_row, mask_row = _pad_to(ids, width, self.tokenizer.pad_token_id)
             lab_row = np.full((width,), -100, np.int64)
             lab = labels[:width]

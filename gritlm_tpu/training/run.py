@@ -122,12 +122,13 @@ def main(argv=None) -> dict:
     elif args.mesh_stage > 1:
         mesh = make_mesh(MeshConfig(
             stage=args.mesh_stage, data=args.mesh_data,
-            fsdp=1 if args.mesh_fsdp == -1 else args.mesh_fsdp,
+            fsdp=args.mesh_fsdp,
             model=args.mesh_model, expert=args.mesh_expert,
         ))
-        assert mesh.shape["fsdp"] == mesh.shape["model"] == 1, (
-            "pipeline training composes with --mesh_data only (v1)")
-        dp_ways = mesh.shape["data"]
+        assert mesh.shape["model"] == 1, (
+            "pipeline training composes with --mesh_data/--mesh_fsdp; "
+            "tensor parallel inside a stage is not supported (v1)")
+        dp_ways = mesh.shape["data"] * mesh.shape["fsdp"]
         step_kind = "pipeline"
     else:
         mesh = make_mesh(MeshConfig(

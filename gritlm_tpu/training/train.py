@@ -151,15 +151,23 @@ def _tree_zeros_like(t):
 def gradcache_emb_grads(
     params, cfg: ModelConfig, tc: TrainConfig,
     query: Dict[str, jax.Array], passage: Dict[str, jax.Array],
+    encode_fn=None,
 ) -> Tuple[jax.Array, Any]:
-    """Returns (loss_emb, param grads of loss_emb) using chunked fwd/replay."""
+    """Returns (loss_emb, param grads of loss_emb) using chunked fwd/replay.
+
+    `encode_fn(params, feat) -> reps` defaults to the GSPMD encode_reps; the
+    pipeline/seqpar train steps pass their own trunk (the scan-GradCache is
+    mesh-agnostic — chunking happens on the batch dim, which every schedule
+    shards or replicates consistently across chunks)."""
+    if encode_fn is None:
+        encode_fn = lambda p, feat: encode_reps(p, cfg, tc, feat)
     n = tc.gc_chunks
     q_chunks = _chunk(query, n)
     p_chunks = _chunk(passage, n)
 
     # stage 1: no-grad chunked encode
     def enc_q(feat):
-        return encode_reps(params, cfg, tc, feat)
+        return encode_fn(params, feat)
 
     q_reps = jax.lax.map(enc_q, q_chunks)  # [n, b, D]
     p_reps = jax.lax.map(enc_q, p_chunks)
@@ -183,7 +191,7 @@ def gradcache_emb_grads(
         feat, drep = chunk_and_grad
 
         def surrogate(p):
-            reps = encode_reps(p, cfg, tc, feat)
+            reps = encode_fn(p, feat)
             return jnp.sum(reps * drep)
 
         g = jax.grad(surrogate)(params)
@@ -353,24 +361,28 @@ def make_pipeline_train_step(
     mesh, cfg: ModelConfig, tc: TrainConfig, n_microbatches: int = 2
 ):
     """Train step with the layer stack pipelined over the mesh's `stage`
-    axis (GPipe microbatches) and the batch split over `data`. Layer params
-    and their optimizer state live stage-sharded; the embedding/head are
-    replicated (tiny). GradCache is not composed with pipelining (gc_chunks
-    must be 1); MoE routing stats are not plumbed through the pipeline."""
+    axis (GPipe microbatches), the batch split over (`data`, `fsdp`), and
+    each stage's layer params + optimizer state ZeRO-3-sharded over `fsdp`
+    (parallel/pipeline.py). GradCache composes: gc_chunks > 1 runs the
+    scan-GradCache with the pipelined trunk as its encoder — the reference's
+    FSDP × GradCache recipe (train_gritlm_8x7b.sh:38-84) plus pipelining it
+    never had. The embedding/head are replicated (tiny). MoE routing stats
+    are not plumbed through the pipeline."""
     import functools as _ft
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from gritlm_tpu.models.transformer import logits_from_hidden
-    from gritlm_tpu.parallel.mesh import AXIS_DATA, AXIS_STAGE
-    from gritlm_tpu.parallel.pipeline import pipeline_forward
+    from gritlm_tpu.parallel.mesh import AXIS_DATA, AXIS_FSDP
+    from gritlm_tpu.parallel.pipeline import (
+        layer_param_pipeline_specs,
+        pipeline_forward,
+    )
 
     if cfg.is_moe:
         raise NotImplementedError("pipeline training: dense models only (v1)")
-    if tc.gc_chunks > 1:
-        raise NotImplementedError("pipeline training does not compose with "
-                                  "GradCache chunking (set gc_chunks=1)")
     opt = make_optimizer(tc)
+    n_fsdp = mesh.shape.get(AXIS_FSDP, 1)
 
     def trunk(params, feat, causal):
         return pipeline_forward(
@@ -391,7 +403,7 @@ def make_pipeline_train_step(
             )
         return reps
 
-    def full_loss(params, batch):
+    def full_loss(params, batch, with_emb):
         loss_gen = jnp.zeros((), jnp.float32)
         loss_emb = jnp.zeros((), jnp.float32)
         if "generative" in batch and tc.mode in ("unified", "generative"):
@@ -401,7 +413,7 @@ def make_pipeline_train_step(
             loss_gen = next_token_loss(
                 logits, gen["labels"], tc.loss_gen_type, tc.loss_gen_factor
             )
-        if "query" in batch and tc.mode in ("unified", "embedding"):
+        if with_emb and "query" in batch and tc.mode in ("unified", "embedding"):
             q = encode(params, batch["query"])
             p = encode(params, batch["passage"])
             loss_emb = contrastive_loss(q, p, tc.temperature)
@@ -409,19 +421,34 @@ def make_pipeline_train_step(
 
     @_ft.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state, batch):
+        use_gc = tc.gc_chunks > 1 and "query" in batch and (
+            tc.mode in ("unified", "embedding")
+        )
         (loss, (le, lg)), grads = jax.value_and_grad(
             full_loss, has_aux=True
-        )(state.params, batch)
+        )(state.params, batch, not use_gc)
+        if use_gc:
+            le, emb_grads = gradcache_emb_grads(
+                state.params, cfg, tc, batch["query"], batch["passage"],
+                encode_fn=encode,
+            )
+            grads = _tree_add(grads, emb_grads)
+            loss = loss + le
         return _apply_updates(opt, state, grads, loss, le, lg)
 
-    stage_ns = NamedSharding(mesh, P(AXIS_STAGE))
     repl_ns = NamedSharding(mesh, P())
-    batch_ns = NamedSharding(mesh, P(AXIS_DATA))
+    batch_ns = NamedSharding(mesh, P((AXIS_DATA, AXIS_FSDP)))
 
     def _param_shardings(params):
+        layer_specs = layer_param_pipeline_specs(params["layers"], n_fsdp)
         return {
-            k: jax.tree_util.tree_map(
-                lambda _: stage_ns if k == "layers" else repl_ns, v
+            k: (
+                jax.tree_util.tree_map(
+                    lambda s: NamedSharding(mesh, s), layer_specs,
+                    is_leaf=lambda x: isinstance(x, P),
+                )
+                if k == "layers"
+                else jax.tree_util.tree_map(lambda _: repl_ns, v)
             )
             for k, v in params.items()
         }
@@ -462,9 +489,11 @@ def make_pipeline_train_step(
 def make_seqpar_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):
     """Train step with sequences sharded over the mesh's `seq` axis (exact
     ring attention). The long-context training mode: activation memory per
-    chip scales with S / n_seq. Params and optimizer state are replicated
-    (combine with FSDP later if the model itself doesn't fit). All batch
-    sequences must divide the seq axis size."""
+    chip scales with S / n_seq, and GradCache composes (gc_chunks > 1 chunks
+    the batch dim while each chunk's sequences stay ring-sharded) so huge
+    contrastive batches of long documents fit. Params and optimizer state
+    are replicated (combine with FSDP later if the model itself doesn't
+    fit). All batch sequences must divide the seq axis size."""
     import functools as _ft
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -477,9 +506,6 @@ def make_seqpar_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):
 
     if cfg.is_moe:
         raise NotImplementedError("seqpar training: dense models only (v1)")
-    if tc.gc_chunks > 1:
-        raise NotImplementedError("seqpar training does not compose with "
-                                  "GradCache chunking (set gc_chunks=1)")
     opt = make_optimizer(tc)
 
     def encode(params, feat):
@@ -498,7 +524,7 @@ def make_seqpar_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):
             )
         return reps
 
-    def full_loss(params, batch):
+    def full_loss(params, batch, with_emb):
         loss_gen = jnp.zeros((), jnp.float32)
         loss_emb = jnp.zeros((), jnp.float32)
         if "generative" in batch and tc.mode in ("unified", "generative"):
@@ -513,7 +539,7 @@ def make_seqpar_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):
             loss_gen = next_token_loss(
                 logits, gen["labels"], tc.loss_gen_type, tc.loss_gen_factor
             )
-        if "query" in batch and tc.mode in ("unified", "embedding"):
+        if with_emb and "query" in batch and tc.mode in ("unified", "embedding"):
             q = encode(params, batch["query"])
             p = encode(params, batch["passage"])
             loss_emb = contrastive_loss(q, p, tc.temperature)
@@ -521,9 +547,21 @@ def make_seqpar_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):
 
     @_ft.partial(jax.jit, donate_argnums=(0,))
     def step_fn(state, batch):
+        use_gc = tc.gc_chunks > 1 and "query" in batch and (
+            tc.mode in ("unified", "embedding")
+        )
         (loss, (le, lg)), grads = jax.value_and_grad(
             full_loss, has_aux=True
-        )(state.params, batch)
+        )(state.params, batch, not use_gc)
+        if use_gc:
+            # GradCache over a seq-sharded trunk: chunking splits the batch
+            # dim; the `seq` axis sharding is untouched chunk to chunk
+            le, emb_grads = gradcache_emb_grads(
+                state.params, cfg, tc, batch["query"], batch["passage"],
+                encode_fn=encode,
+            )
+            grads = _tree_add(grads, emb_grads)
+            loss = loss + le
         return _apply_updates(opt, state, grads, loss, le, lg)
 
     repl_ns = NamedSharding(mesh, P())

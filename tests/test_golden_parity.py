@@ -11,6 +11,12 @@ generation token-stream parity and the README cosine-fixture pipeline
 
 Shared tiny random weights: our init_params → save_checkpoint (HF layout) →
 torch/transformers, so both frameworks run the identical function.
+
+Encode-side tests are parameterized over {ByteTokenizer, hand-crafted BPE}:
+the BPE fixture (tests/tok_fixtures.py) has merges spanning the template
+boundary, so the reference's instruction-prefix assumption breaks and the
+detect-and-correct path (gritlm_tpu/tokenizer.py:prefix_token_len) is what
+keeps the masking token-exact.
 """
 
 import jax
@@ -22,8 +28,14 @@ from gritlm_tpu.config import tiny_mistral
 from gritlm_tpu.models import forward, init_params
 from gritlm_tpu.models.loader import save_checkpoint
 from gritlm_tpu.tokenizer import ByteTokenizer
+from tok_fixtures import make_tokenizer
 
 torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(params=["byte", "bpe"])
+def tok(request):
+    return make_tokenizer(request.param)
 
 
 def _hf_model(cfg, tmp_path, params):
@@ -110,23 +122,30 @@ def _torch_encode(model, tok, sentences, instruction: str) -> np.ndarray:
     enc = tok(batch, max_length=512, add_special_tokens=True)
     ids, mask = enc["input_ids"], enc["attention_mask"]
     hidden = _torch_bidir_hidden(model, ids, mask)  # [B,S,D]
+    # per-row instruction masking, oracle-side: longest common token prefix
+    # of tokenize(instruction) vs the row (independent plain-Python
+    # reimplementation of the detect-and-correct contract)
     pmask = mask.copy()
-    instr_len = tok.tokenize_len(instruction, add_special_tokens=True)
-    pmask[:, :instr_len] = 0
+    pref = tok._encode_one(instruction, True)
+    for i in range(ids.shape[0]):
+        n = int(mask[i].sum())
+        k = 0
+        while k < min(len(pref), n) and int(ids[i, k]) == int(pref[k]):
+            k += 1
+        pmask[i, : min(k, n - 1)] = 0
     w = pmask[..., None].astype(np.float64)
     emb = (hidden.astype(np.float64) * w).sum(1) / w.sum(1)
     emb = emb / np.linalg.norm(emb, axis=-1, keepdims=True)
     return emb.astype(np.float32), ids.shape
 
 
-def test_encode_contract_parity(tmp_path):
+def test_encode_contract_parity(tmp_path, tok):
     """Full GritLM.encode ≡ the reference pipeline on shared weights/tokens."""
     from gritlm_tpu import GritLM
 
     cfg = tiny_mistral()
     params = init_params(cfg, jax.random.PRNGKey(12))
     model = _hf_model(cfg, tmp_path, params)
-    tok = ByteTokenizer()
 
     instruction = "<|user|>\nRetrieve relevant passages.\n<|embed|>\n"
     sentences = [
@@ -143,7 +162,7 @@ def test_encode_contract_parity(tmp_path):
     np.testing.assert_allclose(ours, golden, atol=1e-4, rtol=1e-3)
 
 
-def test_readme_cosine_fixture_parity(tmp_path):
+def test_readme_cosine_fixture_parity(tmp_path, tok):
     """The README quickstart pipeline (reference README.md:62-69): embed
     queries + documents with instruction, cosine-sim matrix. Cross-checked
     value-for-value against the torch-side pipeline."""
@@ -152,7 +171,6 @@ def test_readme_cosine_fixture_parity(tmp_path):
     cfg = tiny_mistral()
     params = init_params(cfg, jax.random.PRNGKey(13))
     model = _hf_model(cfg, tmp_path, params)
-    tok = ByteTokenizer()
 
     def gritlm_instruction(instruction):
         return (

@@ -158,3 +158,68 @@ def test_rebuild_invalidates_doc_caches():
     eng2.build_index(corpus_b, batch_size=4, cache_docs=False)
     rb2 = eng2.answer_batch(["beta?"], mode=CacheMode.DOC)
     assert rb[0].answer == rb2[0].answer
+
+
+def test_doc_store_persistence_load_then_serve(tmp_path):
+    """VERDICT r2 item 7: the doc-cache store persists alongside the index
+    and a fresh engine serves doc-cache modes WITHOUT ever re-encoding the
+    corpus (build-once semantics of the reference's doc_map,
+    rag/eval.py:124-150). The loaded path must produce identical answers."""
+    from gritlm_tpu.index.flat import FlatIndex
+
+    docs = [{"title": f"t{i}", "text": f"stored doc {i} about item {i}"}
+            for i in range(6)]
+    queries = ["what is item 2?", "stored doc 5?"]
+
+    model = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0)
+    eng = RAGEngine(model, max_new_tokens=4, encode_max_length=64)
+    eng.build_index(docs, batch_size=4, cache_docs=True)
+    gold = [r.answer for r in eng.answer_batch(list(queries),
+                                               mode=CacheMode.DOC)]
+    eng.index.save(str(tmp_path / "idx"))
+    eng.save_doc_store(str(tmp_path / "idx" / "doc_store.npz"))
+
+    eng2 = RAGEngine(model, max_new_tokens=4, encode_max_length=64)
+    eng2.index = FlatIndex.load(str(tmp_path / "idx"))
+    n = eng2.load_doc_store(str(tmp_path / "idx" / "doc_store.npz"))
+    assert n == len(docs)
+
+    # serving must never encode with KV capture again (query encodes in DOC
+    # mode don't capture a cache; any get_cache=True call means a corpus
+    # re-encode happened)
+    orig_encode = eng2.model.encode
+
+    def guarded_encode(*a, **kw):
+        assert not kw.get("get_cache"), "corpus cache was re-encoded"
+        return orig_encode(*a, **kw)
+
+    eng2.model.encode = guarded_encode
+    try:
+        got = [r.answer for r in eng2.answer_batch(list(queries),
+                                                   mode=CacheMode.DOC)]
+    finally:
+        eng2.model.encode = orig_encode
+    assert got == gold
+
+
+def test_doc_store_roundtrip_int8(tmp_path):
+    """Quantized (int8 KV) doc stores round-trip bit-exactly."""
+    model = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0,
+                   kv_quant=True)
+    eng = RAGEngine(model, max_new_tokens=4, encode_max_length=64)
+    docs = [{"title": "", "text": f"quantized doc {i}"} for i in range(3)]
+    eng.build_index(docs, batch_size=4, cache_docs=True)
+    path = str(tmp_path / "store.npz")
+    eng.save_doc_store(path)
+    eng2 = RAGEngine(model, max_new_tokens=4, encode_max_length=64)
+    eng2.index = eng.index
+    assert eng2.load_doc_store(path) == len(eng._doc_store)
+    for key, (k, v, w, ks, vs) in eng._doc_store.items():
+        k2, v2, w2, ks2, vs2 = eng2._doc_store[key]
+        assert w2 == w
+        np.testing.assert_array_equal(k2, k)
+        np.testing.assert_array_equal(v2, v)
+        assert (ks is None) == (ks2 is None)
+        if ks is not None:
+            np.testing.assert_array_equal(ks2, ks)
+            np.testing.assert_array_equal(vs2, vs)
