@@ -51,7 +51,8 @@ def bench_encode(cfg, params):
     import jax.numpy as jnp
 
     from gritlm_tpu.models.transformer import forward
-    from gritlm_tpu.ops.pooling import mask_instruction, pool
+    from gritlm_tpu.ops.fused_pool import fused_norm_mean_pool
+    from gritlm_tpu.ops.pooling import mask_instruction
 
     rng = np.random.default_rng(0)
     ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (ENC_B, ENC_S)), jnp.int32)
@@ -60,12 +61,17 @@ def bench_encode(cfg, params):
 
     @jax.jit
     def encode_step(params, input_ids, attention_mask, instruction_lens):
+        # the product encode path (gritlm._encode_step): trunk without final
+        # norm + fused norm/mean-pool/normalize epilogue
         hidden, _, _ = forward(
-            params, cfg, input_ids, attention_mask=attention_mask, causal=False
+            params, cfg, input_ids, attention_mask=attention_mask,
+            causal=False, final_norm=False,
         )
         pmask = mask_instruction(attention_mask, instruction_lens)
-        emb = pool(hidden, pmask, "mean")
-        return emb / jnp.clip(jnp.linalg.norm(emb, axis=-1, keepdims=True), 1e-12)
+        return fused_norm_mean_pool(
+            hidden, params["final_ln"]["scale"], pmask,
+            eps=cfg.rms_norm_eps, method="mean", normalized=True,
+        )
 
     for _ in range(ENC_WARMUP):
         _sync(encode_step(params, ids, mask, instr_lens))

@@ -56,6 +56,12 @@ def get_parser() -> argparse.ArgumentParser:
                    help="projection head dim (reference --embedding_head)")
     p.add_argument("--save_qrels", action="store_true")
     p.add_argument("--top_k", default=10, type=int)
+    p.add_argument("--rerank_top_k", default=0, type=int,
+                   help="rescore the top-k retrieved docs per query with the "
+                        "generative yes-logit reranker (offline path; loads "
+                        "the LM head — reference AbsTaskRetrieval.py:276-345)")
+    p.add_argument("--rerank_cache_dir", default=None, type=str,
+                   help="per-query yes-score JSON cache dir")
     p.add_argument("--local_data_dir", default=None, type=str,
                    help="BEIR-layout local tasks dir (offline path)")
     return p
@@ -64,7 +70,9 @@ def get_parser() -> argparse.ArgumentParser:
 def _load_model(args):
     from gritlm_tpu import GritLM
 
-    kwargs = dict(mode="embedding", pooling_method=args.pooling_method,
+    # reranking scores a "yes" logit → needs the LM head (unified mode)
+    mode = "unified" if getattr(args, "rerank_top_k", 0) else "embedding"
+    kwargs = dict(mode=mode, pooling_method=args.pooling_method,
                   attn=args.attn, projection=args.embedding_head)
     if args.model_name_or_path:
         return GritLM.from_pretrained(args.model_name_or_path,
@@ -163,6 +171,20 @@ def main(argv=None) -> dict:
             corpus, queries, qrels = _load_local_task(
                 os.path.join(args.local_data_dir, task)
             )
+            reranker = None
+            if args.rerank_top_k:
+                from gritlm_tpu.eval.rerank import (
+                    GenerativeReranker,
+                    load_rerank_template,
+                )
+
+                reranker = GenerativeReranker(
+                    model, template=load_rerank_template(task),
+                    max_length=max(max_length * 2, 512),
+                    batch_size=args.batch_size,
+                    cache_dir=(os.path.join(args.rerank_cache_dir, task)
+                               if args.rerank_cache_dir else None),
+                )
             metrics = evaluate_retrieval(
                 model, corpus, queries, qrels,
                 query_instruction=format_instruction(
@@ -171,6 +193,7 @@ def main(argv=None) -> dict:
                     ci, args.instruction_format),
                 batch_size=args.batch_size, max_length=max_length,
                 top_k=max(args.top_k, 10),
+                reranker=reranker, rerank_depth=args.rerank_top_k or 10,
             )
             logger.info("%s: %s", task, metrics)
             with open(out_path, "w") as f:

@@ -105,8 +105,15 @@ def evaluate_retrieval(
         qid: {doc_ids[int(d)]: float(s) for d, s in zip(ids[i], scores[i])}
         for i, qid in enumerate(qids)
     }
+    metrics = retrieval_metrics(results, qrels, k_values)
     if reranker is not None:
-        results = reranker.rerank(
+        # report BOTH metric sets (the reference computes retrieval metrics
+        # over the reranked results while the dense run is recoverable from
+        # its qrels cache, scripts/AbsTaskRetrieval.py:276-357; here the
+        # dense metrics ride along under their own names)
+        reranked = reranker.rerank(
             queries, {d: corpus[d] for d in doc_ids}, results, depth=rerank_depth
         )
-    return retrieval_metrics(results, qrels, k_values)
+        for key, v in retrieval_metrics(reranked, qrels, k_values).items():
+            metrics["rerank_" + key] = v
+    return metrics

@@ -56,6 +56,21 @@ def _encode_step(
     normalized: bool,
     has_projection: bool,
 ) -> jax.Array:
+    if not has_projection and pooling_method in ("mean", "weightedmean"):
+        # fused epilogue: final RMSNorm + masked mean + L2 normalize in one
+        # pass over the residual stream (ops/fused_pool) — skips two HBM
+        # sweeps of the largest encode activation
+        from gritlm_tpu.ops.fused_pool import fused_norm_mean_pool
+
+        hidden, _, _ = forward(
+            params, cfg, input_ids, attention_mask=attention_mask,
+            causal=causal, final_norm=False,
+        )
+        return fused_norm_mean_pool(
+            hidden, params["final_ln"]["scale"], pool_mask,
+            eps=cfg.rms_norm_eps, method=pooling_method,
+            normalized=normalized,
+        )
     hidden, _, _ = forward(
         params, cfg, input_ids, attention_mask=attention_mask, causal=causal
     )

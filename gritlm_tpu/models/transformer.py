@@ -356,7 +356,7 @@ def _moe_mlp_dense(p: dict, x: jax.Array, cfg: ModelConfig):
     u = jnp.einsum("td,edf->etf", xt, _w(p["up"], xt.dtype))
     y = jnp.einsum("etf,efd->etd", jax.nn.silu(h) * u, _w(p["down"], xt.dtype))  # [E, T, D]
     out = jnp.einsum("te,etd->td", combine.astype(y.dtype), y)
-    return out.reshape(B, S, D), router_logits
+    return out.reshape(B, S, D), router_logits, jnp.zeros((), jnp.float32)
 
 
 def _moe_mlp_gshard(p: dict, x: jax.Array, cfg: ModelConfig):
@@ -366,7 +366,11 @@ def _moe_mlp_gshard(p: dict, x: jax.Array, cfg: ModelConfig):
     residual stream passes through). With the expert weights sharded on the
     `expert` mesh axis, XLA turns the dispatch/combine einsums into
     all_to_all over ICI — the expert parallelism the reference never had
-    (SURVEY §2.8 EP row). Exceeding capacity_factor ≥ E/k makes it exact."""
+    (SURVEY §2.8 EP row). capacity_factor ≥ E/k makes it exact (then
+    C ≥ k·T/E·(E/k) = T, so no route can overflow); the returned dropped
+    fraction quantifies training quality loss at smaller factors (the
+    reference computes every token's top-k densely and never drops,
+    scripts/modeling_mixtral_gritlm.py:843-882)."""
     B, S, D = x.shape
     T = B * S
     E = cfg.num_local_experts
@@ -395,13 +399,17 @@ def _moe_mlp_gshard(p: dict, x: jax.Array, cfg: ModelConfig):
     combine = jnp.einsum("tk,tkec->tec", top_w, dispatch)  # [T, E, C]
     dispatch = jnp.sum(dispatch, axis=1)  # [T, E, C]
 
+    # fraction of (token, choice) routes that overflowed capacity — surfaced
+    # through forward()'s aux into train metrics
+    dropped_frac = 1.0 - jnp.sum(kept.astype(jnp.float32)) / (T * k)
+
     xe = jnp.einsum("td,tec->ecd", xt.astype(jnp.float32), dispatch)  # [E,C,D]
     xe = xe.astype(x.dtype)
     h = jnp.einsum("ecd,edf->ecf", xe, _w(p["gate"], xe.dtype))
     u = jnp.einsum("ecd,edf->ecf", xe, _w(p["up"], xe.dtype))
     ye = jnp.einsum("ecf,efd->ecd", jax.nn.silu(h) * u, _w(p["down"], xe.dtype))  # [E,C,D]
     out = jnp.einsum("ecd,tec->td", ye.astype(jnp.float32), combine)
-    return out.astype(x.dtype).reshape(B, S, D), router_logits
+    return out.astype(x.dtype).reshape(B, S, D), router_logits, dropped_frac
 
 
 def _moe_mlp(p: dict, x: jax.Array, cfg: ModelConfig):
@@ -451,8 +459,13 @@ def forward(
     remat: bool = False,
     remat_policy: Optional[str] = None,
     output_router_logits: bool = False,
+    final_norm: bool = True,
 ):
     """Run the trunk (no LM head). Returns (hidden [B,S,D], new_cache, aux).
+
+    `final_norm=False` skips the final RMSNorm and returns the raw residual
+    stream — for callers that fuse the norm into their epilogue
+    (ops/fused_pool.fused_norm_mean_pool on the encode path).
 
     `causal=False` is the GritLM <|embed|> mode: full bidirectional attention
     under the padding mask (reference MistralModel.forward is_causal kwarg,
@@ -495,11 +508,12 @@ def forward(
         x = x + attn_out
         h = rms_norm(x, lp["ln2"]["scale"], cfg.rms_norm_eps)
         if cfg.is_moe:
-            mlp_out, router_logits = _moe_mlp(lp["moe"], h, cfg)
+            mlp_out, router_logits, dropped = _moe_mlp(lp["moe"], h, cfg)
         else:
             mlp_out = _dense_mlp(lp["mlp"], h)
             router_logits = jnp.zeros((0,), jnp.float32)
-        return x + mlp_out, new_kv, router_logits
+            dropped = jnp.zeros((), jnp.float32)
+        return x + mlp_out, new_kv, router_logits, dropped
 
     new_cache = None
     aux = {}
@@ -512,10 +526,10 @@ def forward(
         def layer_fn(carry, lp_and_idx):
             x, k_all, v_all, k_sc, v_sc = carry
             lp, lidx = lp_and_idx
-            x, (k_all, v_all, k_sc, v_sc), router_logits = _block(
+            x, (k_all, v_all, k_sc, v_sc), router_logits, dropped = _block(
                 x, lp, (k_all, v_all, k_sc, v_sc, kv_mask, offset, lidx)
             )
-            out_aux = (router_logits,) if output_router_logits else ()
+            out_aux = (router_logits, dropped) if output_router_logits else ()
             return (x, k_all, v_all, k_sc, v_sc), out_aux
 
         if remat:
@@ -532,20 +546,22 @@ def forward(
     else:
         def layer_fn(carry, lp):
             x = carry
-            x, _, router_logits = _block(x, lp, None)
+            x, _, router_logits, dropped = _block(x, lp, None)
             # Only stack what callers will read: router logits when training
             # asks for them. Unconditional ys would burn HBM on stacks
             # nobody reads.
-            out_aux = (router_logits,) if output_router_logits else ()
+            out_aux = (router_logits, dropped) if output_router_logits else ()
             return x, out_aux
 
         if remat:
             layer_fn = _remat(layer_fn, remat_policy)
         x, ys = jax.lax.scan(layer_fn, x, params["layers"])
 
-    x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
+    if final_norm:
+        x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
     if output_router_logits:
         aux["router_logits"] = ys[0]
+        aux["moe_dropped_frac"] = jnp.mean(ys[1])  # over layers
     return x, new_cache, aux
 
 
@@ -577,7 +593,7 @@ def apply_layer_stack(
         x = x + attn_out
         h = rms_norm(x, lp["ln2"]["scale"], cfg.rms_norm_eps)
         if cfg.is_moe:
-            mlp_out, _ = _moe_mlp(lp["moe"], h, cfg)
+            mlp_out, _, _ = _moe_mlp(lp["moe"], h, cfg)
         else:
             mlp_out = _dense_mlp(lp["mlp"], h)
         return x + mlp_out, None

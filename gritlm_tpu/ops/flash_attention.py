@@ -677,14 +677,31 @@ def flash_attention(
 ) -> jax.Array:
     B, Sq, H, Dh = q.shape
     _, Sk, Hkv, _ = k.shape
-    if Dh % 128 != 0:
-        raise NotImplementedError(f"head_dim {Dh} not a multiple of 128")
     if Sq < 128:
         # decode / tiny-prefill: the [*, Sq, Sk] bias path is small and XLA
         # fuses it well; the flash kernel pays off on big prefill/encode
         raise NotImplementedError("short query path handled by reference impl")
     if padding_mask is None:
         padding_mask = jnp.ones((B, Sk), jnp.int32)
+    if Dh % 128 != 0:
+        # head_dim 64/96 (Qwen2-/Llama-3.2-1B-class): zero-pad each head's
+        # vector to the next 128-lane multiple. Wall-time-free on the MXU —
+        # a K=64 contraction idles the same half of the systolic array the
+        # zero lanes occupy, and the N=64 p·v output wastes the same output
+        # lanes — while the einsum fallback this replaces materializes
+        # [B,H,Sq,Sk] scores in HBM. (The prefill counterpart of the decode
+        # kernel's (Kv·Dh)%128 lane packing, decode_attention.py:26-28.)
+        Dp = -(-Dh // 128) * 128
+        padw = ((0, 0), (0, 0), (0, 0), (0, Dp - Dh))
+        # the kernel scales scores by Dp^-0.5; fold sqrt(Dp/Dh) into q so
+        # the effective softmax scale stays the true Dh^-0.5
+        c = (Dp / Dh) ** 0.5
+        qc = (jnp.pad(q, padw).astype(jnp.float32) * c).astype(q.dtype)
+        out = _flash_attention_core(
+            qc, jnp.pad(k, padw), jnp.pad(v, padw), padding_mask,
+            causal, sliding_window, jnp.asarray(offset, jnp.int32),
+        )
+        return out[..., :Dh]
     return _flash_attention_core(
         q, k, v, padding_mask, causal, sliding_window, jnp.asarray(offset, jnp.int32)
     )

@@ -37,18 +37,24 @@ def initialize(
     metadata server automatically; args are only needed for CPU/GPU fleets.
     Safe to call in single-process runs (no-op)."""
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
     if coordinator_address is None and num_processes is None:
-        # single process (or TPU auto-detection already happened at import)
+        # single process (or TPU auto-detection already happened at import).
+        # Deliberately NOT probing jax.process_count() here: that would
+        # initialize the XLA backend, and a later explicit
+        # jax.distributed.initialize would then be rejected.
         _initialized = True
         return
-    jax.distributed.initialize(
-        coordinator_address=coordinator_address,
-        num_processes=num_processes,
-        process_id=process_id,
-    )
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+    except RuntimeError as e:  # already wired (e.g. TPU pod auto-init)
+        if "already" not in str(e).lower():
+            raise
     _initialized = True
     logger.info("jax.distributed initialized: process %d/%d, %d local devices",
                 jax.process_index(), jax.process_count(),
@@ -82,12 +88,25 @@ def barrier(name: str = "barrier") -> None:
 def broadcast_host_obj(obj: Any, name: str = "bcast") -> Any:
     """Coordinator's small pickled object → every host (host-metadata
     exchange; the analogue of varsize object gathers in rag/dist_utils.py).
-    Uses jax's multihost broadcast when available."""
+
+    Non-coordinators may pass anything (ignored): the object is pickled on
+    the coordinator and shipped as bytes in two broadcasts (length, payload),
+    so arbitrary structures work — `multihost_utils.broadcast_one_to_all`
+    alone would require an identical pytree on every host."""
     if jax.process_count() == 1:
         return obj
+    import pickle
+
     from jax.experimental import multihost_utils
 
-    return multihost_utils.broadcast_one_to_all(obj)
+    payload = pickle.dumps(obj) if is_coordinator() else b""
+    n = int(multihost_utils.broadcast_one_to_all(
+        np.asarray([len(payload)], np.int64)
+    )[0])
+    buf = np.frombuffer(payload.ljust(n, b"\0"), np.uint8) if is_coordinator() \
+        else np.zeros((n,), np.uint8)
+    out = multihost_utils.broadcast_one_to_all(buf)
+    return pickle.loads(np.asarray(out).tobytes())
 
 
 def weighted_average(value: float, count: float) -> Tuple[float, float]:

@@ -138,7 +138,7 @@ def lora_train_step_fns(base_params: dict, cfg, tc, scale: float):
         loss_gen = jnp.zeros((), jnp.float32)
         loss_emb = jnp.zeros((), jnp.float32)
         if "generative" in batch and tc.mode in ("unified", "generative"):
-            loss_gen = generative_loss(params, cfg, tc, batch["generative"])
+            loss_gen, _ = generative_loss(params, cfg, tc, batch["generative"])
         if "query" in batch and tc.mode in ("unified", "embedding"):
             q = encode_reps(params, cfg, tc, batch["query"])
             p = encode_reps(params, cfg, tc, batch["passage"])

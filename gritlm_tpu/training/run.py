@@ -276,6 +276,9 @@ def main(argv=None) -> dict:
                 "loss": float(m.loss), "loss_emb": float(m.loss_emb),
                 "loss_gen": float(m.loss_gen), "grad_norm": float(m.grad_norm),
             }
+            if cfg.is_moe:
+                # GShard capacity-overflow rate (0.0 = exact routing)
+                last["moe_dropped_frac"] = float(m.moe_dropped_frac)
             mlog.log(step, last)
             if args.save_steps and step % args.save_steps == 0:
                 ckpt.save(state, extra={"epoch": epoch, "batch_in_epoch": bidx})

@@ -78,6 +78,9 @@ class StepMetrics(NamedTuple):
     loss_emb: jax.Array
     loss_gen: jax.Array
     grad_norm: jax.Array
+    # GShard MoE capacity-overflow fraction this step (0.0 for dense / exact
+    # capacity); visible in run.py's metrics log
+    moe_dropped_frac: jax.Array = 0.0
 
 
 # ---------------------------------------------------------------------------
@@ -112,7 +115,10 @@ def encode_reps(
 
 def generative_loss(
     params, cfg: ModelConfig, tc: TrainConfig, gen: Dict[str, jax.Array]
-) -> jax.Array:
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (loss, moe_dropped_frac) — the drop fraction is 0 for dense
+    models and quantifies GShard capacity overflow for MoE (the reference
+    never drops; tracking it makes EP training quality measurable)."""
     logits, _, aux = forward_lm(
         params, cfg, gen["input_ids"],
         attention_mask=gen["attention_mask"], causal=True,
@@ -122,12 +128,13 @@ def generative_loss(
     loss = next_token_loss(
         logits, gen["labels"], tc.loss_gen_type, tc.loss_gen_factor
     )
+    dropped = aux.get("moe_dropped_frac", jnp.zeros((), jnp.float32))
     if cfg.is_moe:
         coef = tc.router_aux_coef if tc.router_aux_coef is not None else cfg.router_aux_loss_coef
         loss = loss + coef * load_balancing_loss(
             aux["router_logits"], cfg, gen["attention_mask"]
         )
-    return loss
+    return loss, dropped
 
 
 # ---------------------------------------------------------------------------
@@ -247,8 +254,9 @@ def train_step(
     def full_loss(params):
         loss_gen = jnp.zeros((), jnp.float32)
         loss_emb = jnp.zeros((), jnp.float32)
+        dropped = jnp.zeros((), jnp.float32)
         if has_gen:  # gen first (reference ordering, gradcache_trainer.py:549)
-            loss_gen = generative_loss(params, cfg, tc, batch["generative"])
+            loss_gen, dropped = generative_loss(params, cfg, tc, batch["generative"])
         if has_emb and not use_gc:
             q = encode_reps(params, cfg, tc, batch["query"])
             p = encode_reps(params, cfg, tc, batch["passage"])
@@ -257,9 +265,9 @@ def train_step(
             if not tc.p_grad:
                 p = jax.lax.stop_gradient(p)
             loss_emb = contrastive_loss(q, p, tc.temperature)
-        return loss_gen + loss_emb, (loss_emb, loss_gen)
+        return loss_gen + loss_emb, (loss_emb, loss_gen, dropped)
 
-    (loss, (loss_emb, loss_gen)), grads = jax.value_and_grad(
+    (loss, (loss_emb, loss_gen, dropped)), grads = jax.value_and_grad(
         full_loss, has_aux=True
     )(state.params)
 
@@ -275,7 +283,8 @@ def train_step(
     updates, new_opt = opt.update(grads, state.opt_state, state.params)
     new_params = optax.apply_updates(state.params, updates)
     new_state = TrainState(state.step + 1, new_params, new_opt)
-    return new_state, StepMetrics(loss, loss_emb, loss_gen, gnorm)
+    return new_state, StepMetrics(loss, loss_emb, loss_gen, gnorm,
+                                  jax.lax.stop_gradient(dropped))
 
 
 def make_sharded_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):

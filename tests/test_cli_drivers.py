@@ -169,3 +169,28 @@ def test_mteb_cli_requires_mteb_online(tmp_path):
             "--task_names", "SciFact",
             "--output_folder", str(tmp_path),
         ])
+
+
+def test_mteb_cli_offline_rerank(tmp_path):
+    """VERDICT r2 item 9: --rerank_top_k wires the generative yes-logit
+    reranker into the offline retrieval path and reports BOTH metric sets
+    (reference AbsTaskRetrieval.py:276-345)."""
+    from gritlm_tpu.eval.mteb import main
+
+    _write_beir_task(tmp_path / "data", "ToyRetrieval")
+    out = tmp_path / "results"
+    res = main([
+        "--model_preset", "tiny_mistral",
+        "--task_names", "ToyRetrieval",
+        "--local_data_dir", str(tmp_path / "data"),
+        "--output_folder", str(out),
+        "--batch_size", "4", "--max_length", "64",
+        "--rerank_top_k", "3",
+        "--rerank_cache_dir", str(tmp_path / "rrcache"),
+    ])
+    m = res["ToyRetrieval"]
+    assert "ndcg_at_10" in m and "rerank_ndcg_at_10" in m
+    assert 0.0 <= m["rerank_ndcg_at_10"] <= 1.0
+    # per-query yes-score cache was written
+    cache_files = list((tmp_path / "rrcache" / "ToyRetrieval").glob("*.json"))
+    assert len(cache_files) == 4

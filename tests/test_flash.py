@@ -79,3 +79,36 @@ def test_short_query_raises():
     q, k, v, mask = _inputs(Sq=8)
     with pytest.raises(NotImplementedError):
         flash_attention(q, k, v, mask, causal=True)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("dh", [64, 96])
+def test_head_dim_sub128_matches_reference(causal, dh):
+    """head_dim 64/96 (Qwen2-/Llama-3.2-1B-class) runs the flash kernel via
+    zero-lane padding + scale folding (VERDICT r2 weak-2) — previously these
+    models fell back to the einsum path for prefill/encode."""
+    q, k, v, mask = _inputs(Dh=dh)
+    out = flash_attention(q, k, v, mask, causal=causal)
+    assert out.shape == q.shape
+    bias = make_attention_bias(mask, q.shape[1], k.shape[1], causal=causal)
+    ref = mha_reference(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=3e-5)
+
+
+def test_head_dim_sub128_grads_match():
+    """Backward through the padded-lane path ≡ reference grads (the pad /
+    slice / scale-fold all sit outside the custom_vjp core)."""
+    q, k, v, mask = _inputs(Sq=128, Sk=128, Dh=64, H=4, Hkv=2)
+
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, causal=True) ** 2)
+
+    def f_ref(q, k, v):
+        bias = make_attention_bias(mask, q.shape[1], k.shape[1], causal=True)
+        return jnp.sum(mha_reference(q, k, v, bias) ** 2)
+
+    g_flash = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_flash, g_ref, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3, err_msg=name)

@@ -234,3 +234,178 @@ def test_greedy_generation_token_parity(tmp_path):
             hf_b = hf_b[:stop]
         ours_b = toks[b, : nv[b]]
         np.testing.assert_array_equal(ours_b, hf_b, err_msg=f"prompt {b}")
+
+
+def _hf_generate_row(model, ids_row, new, eos_id, pad_id):
+    """Unpadded single-row HF greedy generate — the honest oracle for ragged
+    batches (HF itself wants left padding; feeding each row unpadded makes
+    the target token stream padding-strategy-independent)."""
+    with torch.no_grad():
+        out = model.generate(
+            input_ids=torch.tensor(np.asarray([ids_row], np.int64)),
+            max_new_tokens=new, do_sample=False,
+            eos_token_id=eos_id, pad_token_id=pad_id,
+        ).numpy()[0, len(ids_row):]
+    if (out == eos_id).any():
+        out = out[: int(np.argmax(out == eos_id)) + 1]
+    return out
+
+
+def test_ragged_prompt_generation_parity(tmp_path, tok):
+    """VERDICT r2 weak-5: mixed-length right-padded prompt batches — the
+    shape every real caller uses (gritlm.py generate_from_ids bucketing +
+    position accounting + per-row EOS) — must be token-exact vs HF."""
+    from gritlm_tpu import GritLM
+
+    cfg = tiny_mistral()
+    params = init_params(cfg, jax.random.PRNGKey(15))
+    model = _hf_model(cfg, tmp_path, params)
+
+    prompts = [
+        "<|user|>\nHello there, how are you today?\n<|assistant|>\n",
+        "<|user|>\nHi\n<|assistant|>\n",
+        "<|user|>\nWrite a very long poem about mountains and rivers\n<|assistant|>\n",
+    ]
+    enc = tok(prompts, max_length=128, add_special_tokens=True)
+    ids, mask = enc["input_ids"], enc["attention_mask"]
+    lens = mask.sum(axis=1)
+    assert len(set(lens.tolist())) > 1, "batch must actually be ragged"
+
+    new = 10
+    m = GritLM(cfg, params=params, tokenizer=tok, mode="unified", attn="bbcc")
+    res = m.generate_from_ids(ids, mask, max_new_tokens=new, temperature=0.0)
+    toks = np.asarray(res.tokens)
+    nv = np.asarray(res.num_valid)
+    for b in range(len(prompts)):
+        hf_b = _hf_generate_row(model, ids[b, : lens[b]], new,
+                                tok.eos_token_id, tok.pad_token_id)
+        np.testing.assert_array_equal(toks[b, : nv[b]], hf_b,
+                                      err_msg=f"prompt {b}")
+
+
+def test_cache_continuation_generation_parity(tmp_path, tok):
+    """Cache-continuation on ragged batches: a causally-encoded prefix cache
+    + a padded continuation prompt must decode the same tokens HF produces
+    on the concatenated unpadded stream — pins the cache mask / position
+    accounting of generate.py across pad holes."""
+    from gritlm_tpu import GritLM
+
+    cfg = tiny_mistral()
+    params = init_params(cfg, jax.random.PRNGKey(16))
+    model = _hf_model(cfg, tmp_path, params)
+
+    # cccc → encode is causal, so the captured cache is exactly the causal
+    # prefix state HF would build
+    m = GritLM(cfg, params=params, tokenizer=tok, mode="unified", attn="cccc")
+    prefixes = ["<s>The first document is about mountains. ",
+                "<s>Doc two. "]
+    conts = ["\n<|user|>\nSummarize\n<|assistant|>\n",
+             "\n<|user|>\nWhat is the second document about, in short?\n<|assistant|>\n"]
+
+    _, cache = m.encode(prefixes, get_cache=True, add_special_tokens=False,
+                        max_length=64)
+    enc_c = tok(conts, max_length=64, add_special_tokens=False)
+    cids, cmask = enc_c["input_ids"], enc_c["attention_mask"]
+    clens = cmask.sum(axis=1)
+    new = 8
+    res = m.generate_from_ids(cids, cmask, cache=cache, max_new_tokens=new,
+                              temperature=0.0)
+    toks = np.asarray(res.tokens)
+    nv = np.asarray(res.num_valid)
+
+    enc_p = tok(prefixes, max_length=64, add_special_tokens=False)
+    plens = enc_p["attention_mask"].sum(axis=1)
+    assert len(set(plens.tolist())) > 1, "prefixes must be ragged"
+    for b in range(len(prefixes)):
+        full = np.concatenate([enc_p["input_ids"][b, : plens[b]],
+                               cids[b, : clens[b]]])
+        hf_b = _hf_generate_row(model, full, new,
+                                tok.eos_token_id, tok.pad_token_id)
+        np.testing.assert_array_equal(toks[b, : nv[b]], hf_b,
+                                      err_msg=f"row {b}")
+
+
+def _hf_mixtral_model(cfg, tmp_path, params):
+    """Tiny Mixtral checkpoint → stock HF MixtralForCausalLM (fp32)."""
+    import safetensors.torch
+    from transformers import MixtralConfig, MixtralForCausalLM
+
+    save_checkpoint(str(tmp_path), cfg, params)
+    hf_cfg = MixtralConfig(
+        vocab_size=cfg.vocab_size,
+        hidden_size=cfg.hidden_size,
+        intermediate_size=cfg.intermediate_size,
+        num_hidden_layers=cfg.num_hidden_layers,
+        num_attention_heads=cfg.num_attention_heads,
+        num_key_value_heads=cfg.num_key_value_heads,
+        max_position_embeddings=cfg.max_position_embeddings,
+        rope_theta=cfg.rope_theta,
+        rms_norm_eps=cfg.rms_norm_eps,
+        num_local_experts=cfg.num_local_experts,
+        num_experts_per_tok=cfg.num_experts_per_tok,
+        sliding_window=None,
+        tie_word_embeddings=False,
+        attn_implementation="eager",
+    )
+    model = MixtralForCausalLM(hf_cfg)
+    sd = safetensors.torch.load_file(str(tmp_path / "model.safetensors"))
+    missing, unexpected = model.load_state_dict(sd, strict=False)
+    assert not unexpected, unexpected
+    return model.float().eval()
+
+
+def test_mixtral_bidirectional_hidden_parity(tmp_path):
+    """VERDICT r2 missing-2: the non-causal mask path through Mixtral —
+    the embedding half of the 8x7B headline — vs the torch oracle
+    (reference threads is_causal through Mixtral the same way,
+    scripts/modeling_mixtral_gritlm.py:1228-1294)."""
+    from gritlm_tpu.config import tiny_mixtral
+
+    cfg = tiny_mixtral()
+    params = init_params(cfg, jax.random.PRNGKey(21))
+    model = _hf_mixtral_model(cfg, tmp_path, params)
+
+    rng = np.random.default_rng(6)
+    ids = rng.integers(0, cfg.vocab_size, size=(2, 9))
+    mask = np.ones((2, 9), np.int64)
+    mask[1, 6:] = 0
+
+    golden = _torch_bidir_hidden(model, ids, mask)
+    ours, _, _ = forward(
+        params, cfg, jnp.asarray(ids),
+        attention_mask=jnp.asarray(mask), causal=False,
+    )
+    ours = np.asarray(ours, np.float32)
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(ours[valid], golden[valid], atol=2e-4, rtol=1e-3)
+
+    # bidirectionality check: a late-token flip must move an early hidden
+    ids2 = ids.copy()
+    ids2[0, 7] = (ids2[0, 7] + 1) % cfg.vocab_size
+    ours2, _, _ = forward(
+        params, cfg, jnp.asarray(ids2),
+        attention_mask=jnp.asarray(mask), causal=False,
+    )
+    assert np.abs(np.asarray(ours2)[0, 0] - ours[0, 0]).max() > 1e-6
+
+
+def test_mixtral_encode_contract_parity(tmp_path, tok):
+    """Full GritLM.encode through Mixtral ≡ the reference pipeline (both
+    tokenizers, incl. the boundary-merge BPE)."""
+    from gritlm_tpu import GritLM
+    from gritlm_tpu.config import tiny_mixtral
+
+    cfg = tiny_mixtral()
+    params = init_params(cfg, jax.random.PRNGKey(22))
+    model = _hf_mixtral_model(cfg, tmp_path, params)
+
+    instruction = "<|user|>\nRetrieve relevant passages.\n<|embed|>\n"
+    sentences = ["Bitcoin is a decentralized digital currency.",
+                 "Generative representational instruction tuning.", "short"]
+    golden, _ = _torch_encode(model, tok, sentences, instruction)
+
+    m = GritLM(cfg, params=params, tokenizer=tok, mode="embedding",
+               attn="bbcc", pooling_method="mean", normalized=True)
+    ours = m.encode(sentences, instruction=instruction)
+    assert ours.shape == golden.shape
+    np.testing.assert_allclose(ours, golden, atol=2e-4, rtol=1e-3)

@@ -36,8 +36,12 @@ def _inputs(cfg, B=8, S=16, seed=1):
 
 @pytest.mark.parametrize("stages,data,micro", [(4, 2, 2), (2, 1, 4), (1, 2, 1)])
 def test_pipeline_matches_forward(cfg4, params4, stages, data, micro):
+    # the leftover devices land on fsdp, which (since r3) ZeRO-shards the
+    # stage params AND consumes a slice of the batch — so B must cover
+    # (data × fsdp) shards × microbatches
     mesh = make_mesh(MeshConfig(stage=stages, data=data, fsdp=8 // (stages * data)))
-    ids, mask = _inputs(cfg4)
+    n_shards = mesh.shape["data"] * mesh.shape["fsdp"]
+    ids, mask = _inputs(cfg4, B=max(8, n_shards * micro))
     ref, _, _ = forward(params4, cfg4, ids, attention_mask=mask, causal=False)
     got = jax.jit(
         lambda p, i, m: pipeline_forward(
