@@ -44,8 +44,9 @@ def _kernel(
     x_ref,  # [1, bs, D] pre-norm hidden block
     gamma_ref,  # [1, D]
     o_ref,  # [1, 1, D] f32
-    acc_scr,  # [8, D] f32 (row 0 = weighted sum)
-    cnt_scr,  # [8, 128] f32 ([0,0] = weight sum, [1,0] = token count)
+    acc_scr,  # [8, D] f32 VMEM (row 0 = weighted sum)
+    cnt_scr,  # [2] f32 SMEM (0 = weight sum, 1 = token count) — Mosaic
+    # forbids scalar stores to VMEM; scalars live in SMEM
     *,
     eps: float,
     weighted: bool,
@@ -57,33 +58,34 @@ def _kernel(
     @pl.when(i == 0)
     def _init():
         acc_scr[:] = jnp.zeros_like(acc_scr)
-        cnt_scr[:] = jnp.zeros_like(cnt_scr)
+        cnt_scr[0] = 0.0
+        cnt_scr[1] = 0.0
 
     x = x_ref[0].astype(jnp.float32)  # [bs, D]
-    g = gamma_ref[0].astype(jnp.float32)  # [D]
+    g = gamma_ref[0:1].astype(jnp.float32)  # [1, D]
     xn = x * jax.lax.rsqrt(
         jnp.mean(x * x, axis=-1, keepdims=True) + eps
-    ) * g[None, :]
-    m = mask_ref[0, 0].astype(jnp.float32)  # [bs]
+    ) * g
+    m = mask_ref[0].astype(jnp.float32)  # [1, bs]
     if weighted:
         # global position weight = tokens-before-this-block + local cumsum
-        w = m * (cnt_scr[1, 0] + jnp.cumsum(m))
+        w = m * (cnt_scr[1] + jnp.cumsum(m, axis=1))
     else:
         w = m
     acc_scr[0:1, :] += jax.lax.dot_general(
-        w[None, :], xn, (((1,), (0,)), ((), ())),
+        w, xn, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [1, D]
-    cnt_scr[0, 0] += jnp.sum(w)
-    cnt_scr[1, 0] += jnp.sum(m)
+    cnt_scr[0] += jnp.sum(w)
+    cnt_scr[1] += jnp.sum(m)
 
     @pl.when(i == n - 1)
     def _finish():
-        denom = cnt_scr[0, 0]
-        p = acc_scr[0, :] / jnp.where(denom > 0, denom, 1.0)
+        denom = cnt_scr[0]
+        p = acc_scr[0:1, :] / jnp.where(denom > 0, denom, 1.0)  # [1, D]
         if normalized:
             p = p / jnp.maximum(jnp.sqrt(jnp.sum(p * p)), 1e-12)
-        o_ref[0, 0] = p
+        o_ref[0] = p
 
 
 @functools.partial(
@@ -106,7 +108,7 @@ def _fused_call(hidden, gamma, mask, *, eps, weighted, normalized, bs):
         out_specs=pl.BlockSpec((1, 1, D), lambda b, i: (b, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((8, D), jnp.float32),
-            pltpu.VMEM((8, 128), jnp.float32),
+            pltpu.SMEM((2,), jnp.float32),
         ],
     )
     out = pl.pallas_call(
