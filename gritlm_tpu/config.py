@@ -47,7 +47,9 @@ class ModelConfig:
     num_experts_per_tok: int = 2
     router_aux_loss_coef: float = 0.02
     # MoE execution: 'dense' = all experts on all tokens (exact, small-scale);
-    # 'gshard' = capacity-based dispatch/combine (expert-parallel, all_to_all)
+    # 'dropless' = argsort + ragged_dot grouped matmuls (exact at T·k FLOPs,
+    # single-host/FSDP); 'gshard' = capacity-based dispatch/combine
+    # (expert-parallel all_to_all; drops above capacity — tracked in metrics)
     moe_impl: str = "dense"
     capacity_factor: float = 2.0
     # numerics

@@ -412,9 +412,45 @@ def _moe_mlp_gshard(p: dict, x: jax.Array, cfg: ModelConfig):
     return out.astype(x.dtype).reshape(B, S, D), router_logits, dropped_frac
 
 
+def _moe_mlp_dropless(p: dict, x: jax.Array, cfg: ModelConfig):
+    """Dropless MoE (MegaBlocks-style): sort the T·k (token, choice) pairs by
+    expert and run grouped matmuls with jax.lax.ragged_dot — every token's
+    top-k experts always compute (exactly the reference's semantics,
+    scripts/modeling_mixtral_gritlm.py:843-882) at FLOPs ∝ T·k instead of
+    dense's T·E, with static shapes throughout (argsort + bincount). The
+    exact choice for big-T single-host / FSDP runs; `gshard` remains the
+    expert-parallel (all_to_all) path with its capacity/drop tradeoff."""
+    B, S, D = x.shape
+    T = B * S
+    k = cfg.num_experts_per_tok
+    E = cfg.num_local_experts
+    xt = x.reshape(T, D)
+    router_logits, probs, top_w, top_idx = _router(p, xt, cfg)
+
+    flat_e = top_idx.reshape(-1)  # [T*k] expert of each (token, choice)
+    order = jnp.argsort(flat_e)  # stable → tokens stay ordered within expert
+    tok = order // k  # owning token of each sorted row
+    xs = jnp.take(xt, tok, axis=0)  # [T*k, D] rows grouped by expert
+    group_sizes = jnp.bincount(flat_e, length=E)  # [E]
+
+    h = jax.lax.ragged_dot(xs, _w(p["gate"], xs.dtype), group_sizes)
+    u = jax.lax.ragged_dot(xs, _w(p["up"], xs.dtype), group_sizes)
+    ys = jax.lax.ragged_dot(
+        jax.nn.silu(h) * u, _w(p["down"], xs.dtype), group_sizes,
+    )  # [T*k, D]
+    w_flat = jnp.take(top_w.reshape(-1), order).astype(jnp.float32)
+    out = jnp.zeros((T, D), jnp.float32).at[tok].add(
+        ys.astype(jnp.float32) * w_flat[:, None]
+    )
+    return (out.astype(x.dtype).reshape(B, S, D), router_logits,
+            jnp.zeros((), jnp.float32))
+
+
 def _moe_mlp(p: dict, x: jax.Array, cfg: ModelConfig):
     if cfg.moe_impl == "gshard":
         return _moe_mlp_gshard(p, x, cfg)
+    if cfg.moe_impl == "dropless":
+        return _moe_mlp_dropless(p, x, cfg)
     return _moe_mlp_dense(p, x, cfg)
 
 

@@ -24,6 +24,8 @@ class RunArguments:
     attn: str = "bbcc"
     projection: Optional[int] = None  # embedding projection head dim
     dtype: Optional[str] = None  # override checkpoint dtype
+    moe_impl: Optional[str] = None  # MoE execution override:
+    # dense | dropless (exact) | gshard (EP all_to_all, capacity-dropped)
 
     # data (reference DataArguments, gritlm/training/arguments.py)
     train_data: List[str] = dataclasses.field(default_factory=list)

@@ -64,6 +64,10 @@ def main(argv=None) -> dict:
             import dataclasses as dc
 
             cfg = dc.replace(cfg, dtype=args.dtype)
+        if args.moe_impl and cfg.is_moe:
+            import dataclasses as dc
+
+            cfg = dc.replace(cfg, moe_impl=args.moe_impl)
         params = init_params(cfg, jax.random.PRNGKey(args.seed),
                              with_lm_head=(args.mode != "embedding"))
         tokenizer = load_tokenizer(None)

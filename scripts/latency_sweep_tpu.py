@@ -66,10 +66,14 @@ def main() -> None:
     # 4k-doc point so the int8 serving ladder shows up END-TO-END (at 16 new
     # tokens prefill dominates and quantization is within noise; the
     # reference protocol itself stops at 16, raglatency.sh:22-71)
-    plan += [
+    decode_heavy = [
         ((4000,), (1000,), 6, ("prompt_query_doc", "doc"), 16, 128),
         ((4000,), (1000,), 6, ("prompt_query_doc", "doc"), 16, 256),
     ]
+    if "--decode_heavy_only" in sys.argv:  # skip the (already-measured) grid
+        plan = decode_heavy
+    else:
+        plan += decode_heavy
     for entry_ in plan:
         lengths, qlens, batch, modes, n_docs = entry_[:5]
         mnt = entry_[5] if len(entry_) > 5 else 16
