@@ -192,7 +192,9 @@ def main(argv=None) -> dict:
                 corpus_instruction=format_instruction(
                     ci, args.instruction_format),
                 batch_size=args.batch_size, max_length=max_length,
-                top_k=max(args.top_k, 10),
+                # retrieval must fetch at least as many candidates as the
+                # reranker is asked to rescore
+                top_k=max(args.top_k, 10, args.rerank_top_k),
                 reranker=reranker, rerank_depth=args.rerank_top_k or 10,
             )
             logger.info("%s: %s", task, metrics)
@@ -202,6 +204,11 @@ def main(argv=None) -> dict:
         return results
 
     # ---- online path: the stock mteb harness (reference flow)
+    if args.rerank_top_k:
+        raise SystemExit(
+            "--rerank_top_k is wired into the offline retrieval path only; "
+            "pass --local_data_dir (the stock mteb harness drives its own "
+            "search and exposes no rerank hook)")
     from gritlm_tpu.eval.mteb_adapter import run_mteb
 
     return run_mteb(

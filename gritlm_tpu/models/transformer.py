@@ -401,7 +401,9 @@ def _moe_mlp_gshard(p: dict, x: jax.Array, cfg: ModelConfig):
 
     # fraction of (token, choice) routes that overflowed capacity — surfaced
     # through forward()'s aux into train metrics
-    dropped_frac = 1.0 - jnp.sum(kept.astype(jnp.float32)) / (T * k)
+    dropped_frac = jnp.maximum(
+        1.0 - jnp.sum(kept.astype(jnp.float32)) / (T * k), 0.0
+    )
 
     xe = jnp.einsum("td,tec->ecd", xt.astype(jnp.float32), dispatch)  # [E,C,D]
     xe = xe.astype(x.dtype)

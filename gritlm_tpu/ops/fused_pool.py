@@ -143,7 +143,9 @@ def fused_norm_mean_pool(
         return _reference(hidden, gamma, pool_mask, eps=eps, method=method,
                           normalized=normalized)
     if D % 128 != 0:
-        raise NotImplementedError(f"hidden dim {D} not lane-aligned")
+        # odd hidden dims (tiny test presets): same math through XLA
+        return _reference(hidden, gamma, pool_mask, eps=eps, method=method,
+                          normalized=normalized)
     # block the sequence; pad to a block multiple (pads carry mask 0)
     bs = min(512, -(-S // 128) * 128)
     Sp = -(-S // bs) * bs

@@ -52,8 +52,19 @@ def initialize(
             num_processes=num_processes,
             process_id=process_id,
         )
-    except RuntimeError as e:  # already wired (e.g. TPU pod auto-init)
-        if "already" not in str(e).lower():
+    except RuntimeError as e:
+        # already wired (TPU pod auto-init / double call). JAX 0.9 words
+        # this "should only be called once" or "must be called before any
+        # JAX calls" — tolerate both only when a controller is actually up
+        msg = str(e).lower()
+        tolerable = "already" in msg or "once" in msg or "before any" in msg
+        if not tolerable:
+            raise
+        try:
+            up = jax.process_count() >= 1
+        except Exception:
+            up = False
+        if not up:
             raise
     _initialized = True
     logger.info("jax.distributed initialized: process %d/%d, %d local devices",

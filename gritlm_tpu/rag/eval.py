@@ -166,10 +166,24 @@ def main(argv=None) -> dict:
             engine.index = FlatIndex.load(args.load_index_path)
             logger.info("loaded index: %d passages", len(engine.index.passages))
             store_path = os.path.join(args.load_index_path, "doc_store.npz")
-            if os.path.exists(store_path):
+            if cache_docs and os.path.exists(store_path):
                 n = engine.load_doc_store(store_path)
-                logger.info("loaded doc-cache store: %d entries "
-                            "(corpus KV precompute skipped)", n)
+                # the persisted store must match this run's KV precision;
+                # a mismatched store would silently serve differently-
+                # quantized caches
+                entry0 = next(iter(engine._doc_store.values()), None)
+                store_quant = entry0 is not None and entry0[3] is not None
+                if entry0 is not None and store_quant != bool(args.kv_quant):
+                    logger.warning(
+                        "doc_store.npz is %s but --kv_quant=%s — ignoring "
+                        "the store and precomputing fresh caches",
+                        "int8" if store_quant else "bf16", args.kv_quant)
+                    engine._doc_store = {}
+                    engine.precompute_all_doc_caches(
+                        batch_size=min(args.embedbs, 8))
+                else:
+                    logger.info("loaded doc-cache store: %d entries "
+                                "(corpus KV precompute skipped)", n)
             elif cache_docs:
                 engine.precompute_all_doc_caches(
                     batch_size=min(args.embedbs, 8)

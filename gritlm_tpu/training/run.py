@@ -57,6 +57,10 @@ def main(argv=None) -> dict:
             args.model_name_or_path, with_lm_head=(args.mode != "embedding"),
             dtype=args.dtype,
         )
+        if args.moe_impl and cfg.is_moe:
+            import dataclasses as dc
+
+            cfg = dc.replace(cfg, moe_impl=args.moe_impl)
         tokenizer = load_tokenizer(args.model_name_or_path)
     else:
         cfg = getattr(cfgmod, args.model_preset)()

@@ -88,16 +88,20 @@ class StepMetrics(NamedTuple):
 
 
 def encode_reps(
-    params, cfg: ModelConfig, tc: TrainConfig, feat: Dict[str, jax.Array]
-) -> jax.Array:
+    params, cfg: ModelConfig, tc: TrainConfig, feat: Dict[str, jax.Array],
+    return_drop: bool = False,
+):
     """features → pooled (optionally normalized) reps [B, D]; instruction
     tokens are attended but excluded from pooling (reference
-    gritlm/training/model.py:134-165)."""
-    hidden, _, _ = forward(
+    gritlm/training/model.py:134-165). With return_drop, also returns the
+    MoE capacity-overflow fraction of this forward (embedding-branch drops
+    are otherwise invisible in the metrics)."""
+    hidden, _, aux = forward(
         params, cfg, feat["input_ids"],
         attention_mask=feat["attention_mask"],
         causal=tc.embed_causal,
         remat=tc.remat, remat_policy=tc.remat_policy,
+        output_router_logits=cfg.is_moe and return_drop,
     )
     pmask = feat["attention_mask"]
     if "instruction_lens" in feat:
@@ -110,6 +114,8 @@ def encode_reps(
         reps = reps @ pr["kernel"].astype(reps.dtype) + pr["bias"].astype(reps.dtype)
     if tc.normalized:
         reps = reps / jnp.clip(jnp.linalg.norm(reps, axis=-1, keepdims=True), 1e-12)
+    if return_drop:
+        return reps, aux.get("moe_dropped_frac", jnp.zeros((), jnp.float32))
     return reps
 
 
@@ -159,25 +165,33 @@ def gradcache_emb_grads(
     params, cfg: ModelConfig, tc: TrainConfig,
     query: Dict[str, jax.Array], passage: Dict[str, jax.Array],
     encode_fn=None,
-) -> Tuple[jax.Array, Any]:
-    """Returns (loss_emb, param grads of loss_emb) using chunked fwd/replay.
+) -> Tuple[jax.Array, Any, jax.Array]:
+    """Returns (loss_emb, param grads of loss_emb, moe_dropped_frac) using
+    chunked fwd/replay.
 
     `encode_fn(params, feat) -> reps` defaults to the GSPMD encode_reps; the
     pipeline/seqpar train steps pass their own trunk (the scan-GradCache is
     mesh-agnostic — chunking happens on the batch dim, which every schedule
     shards or replicates consistently across chunks)."""
-    if encode_fn is None:
+    default_encode = encode_fn is None
+    if default_encode:
         encode_fn = lambda p, feat: encode_reps(p, cfg, tc, feat)
     n = tc.gc_chunks
     q_chunks = _chunk(query, n)
     p_chunks = _chunk(passage, n)
 
-    # stage 1: no-grad chunked encode
-    def enc_q(feat):
-        return encode_fn(params, feat)
+    # stage 1: no-grad chunked encode (tracking MoE drops when this is the
+    # default MoE encoder — the embedding branch drops tokens too)
+    track_drop = default_encode and cfg.is_moe
 
-    q_reps = jax.lax.map(enc_q, q_chunks)  # [n, b, D]
-    p_reps = jax.lax.map(enc_q, p_chunks)
+    def enc_q(feat):
+        if track_drop:
+            return encode_reps(params, cfg, tc, feat, return_drop=True)
+        return encode_fn(params, feat), jnp.zeros((), jnp.float32)
+
+    q_reps, q_drops = jax.lax.map(enc_q, q_chunks)  # [n, b, D], [n]
+    p_reps, p_drops = jax.lax.map(enc_q, p_chunks)
+    dropped = jnp.mean(jnp.concatenate([q_drops, p_drops]))
     q_reps = jax.lax.stop_gradient(q_reps.reshape((-1, q_reps.shape[-1])))
     p_reps = jax.lax.stop_gradient(p_reps.reshape((-1, p_reps.shape[-1])))
 
@@ -207,7 +221,7 @@ def gradcache_emb_grads(
     zeros = _tree_zeros_like(params)
     grads, _ = jax.lax.scan(replay, zeros, (q_chunks, dq_chunks))
     grads, _ = jax.lax.scan(replay, grads, (p_chunks, dp_chunks))
-    return loss_emb, grads
+    return loss_emb, grads, dropped
 
 
 # ---------------------------------------------------------------------------
@@ -258,8 +272,16 @@ def train_step(
         if has_gen:  # gen first (reference ordering, gradcache_trainer.py:549)
             loss_gen, dropped = generative_loss(params, cfg, tc, batch["generative"])
         if has_emb and not use_gc:
-            q = encode_reps(params, cfg, tc, batch["query"])
-            p = encode_reps(params, cfg, tc, batch["passage"])
+            if cfg.is_moe:
+                q, dq = encode_reps(params, cfg, tc, batch["query"],
+                                    return_drop=True)
+                p, dp = encode_reps(params, cfg, tc, batch["passage"],
+                                    return_drop=True)
+                n_fwd = 3.0 if has_gen else 2.0
+                dropped = (dropped * (n_fwd - 2.0) + dq + dp) / n_fwd
+            else:
+                q = encode_reps(params, cfg, tc, batch["query"])
+                p = encode_reps(params, cfg, tc, batch["passage"])
             if not tc.q_grad:
                 q = jax.lax.stop_gradient(q)
             if not tc.p_grad:
@@ -272,12 +294,15 @@ def train_step(
     )(state.params)
 
     if use_gc:
-        loss_emb_gc, emb_grads = gradcache_emb_grads(
+        loss_emb_gc, emb_grads, gc_drop = gradcache_emb_grads(
             state.params, cfg, tc, batch["query"], batch["passage"]
         )
         grads = _tree_add(grads, emb_grads)
         loss_emb = loss_emb_gc
         loss = loss + loss_emb_gc
+        if cfg.is_moe:
+            n_fwd = 3.0 if has_gen else 2.0
+            dropped = (dropped * (n_fwd - 2.0) + 2.0 * gc_drop) / n_fwd
 
     gnorm = optax.global_norm(grads)
     updates, new_opt = opt.update(grads, state.opt_state, state.params)
@@ -437,7 +462,7 @@ def make_pipeline_train_step(
             full_loss, has_aux=True
         )(state.params, batch, not use_gc)
         if use_gc:
-            le, emb_grads = gradcache_emb_grads(
+            le, emb_grads, _ = gradcache_emb_grads(
                 state.params, cfg, tc, batch["query"], batch["passage"],
                 encode_fn=encode,
             )
@@ -565,7 +590,7 @@ def make_seqpar_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):
         if use_gc:
             # GradCache over a seq-sharded trunk: chunking splits the batch
             # dim; the `seq` axis sharding is untouched chunk to chunk
-            le, emb_grads = gradcache_emb_grads(
+            le, emb_grads, _ = gradcache_emb_grads(
                 state.params, cfg, tc, batch["query"], batch["passage"],
                 encode_fn=encode,
             )

@@ -58,9 +58,10 @@ def test_gradcache_matches_full_batch(setup):
     loss_full, grads_full = jax.value_and_grad(full_loss)(params)
 
     tc_gc = TrainConfig(mode="embedding", gc_chunks=2, remat=False, temperature=0.5)
-    loss_gc, grads_gc = gradcache_emb_grads(
+    loss_gc, grads_gc, gc_drop = gradcache_emb_grads(
         params, cfg, tc_gc, batch["query"], batch["passage"]
     )
+    assert float(gc_drop) == 0.0  # dense model never drops
     np.testing.assert_allclose(float(loss_gc), float(loss_full), rtol=1e-5)
     flat_f = jax.tree_util.tree_leaves(grads_full)
     flat_g = jax.tree_util.tree_leaves(grads_gc)
