@@ -171,7 +171,12 @@ def bench_train(cfg, params):
     }
     tokens_per_step = TR_QB * TR_QS + TR_PB * TR_PS + TR_GB * TR_GS
 
-    tc = TrainConfig(mode="unified", total_steps=100, remat=True)
+    # remat policy measured on v5e (scripts/exp_remat_train.py): full
+    # recompute 23.7k tok/s, dots_no_batch 25.1k tok/s (+6%), no-remat OOMs.
+    # dots_no_batch saves the per-layer weights-only dot results and fits
+    # alongside the 1B optimizer state; it is the production 1B-class config.
+    tc = TrainConfig(mode="unified", total_steps=100, remat=True,
+                     remat_policy="dots_no_batch")
     state = init_train_state(params, tc)
     step = jax.jit(lambda s, b: train_step(s, b, cfg, tc), donate_argnums=(0,))
 

@@ -642,14 +642,18 @@ def apply_layer_stack(
     return x
 
 
-def logits_from_hidden(params: dict, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
+def lm_head_kernel(params: dict, cfg: ModelConfig, dtype) -> jax.Array:
+    """The [D, V] LM-head kernel (dequantized if serving-quantized), shared
+    by logits_from_hidden and the fused head+CE training loss."""
     if "lm_head" in params:
-        kernel = _w(params["lm_head"]["kernel"], hidden.dtype)
-    elif cfg.tie_word_embeddings:
-        kernel = params["embed"]["embedding"].T
-    else:
-        raise ValueError("No LM head in params and embeddings are not tied")
-    return hidden @ kernel
+        return _w(params["lm_head"]["kernel"], dtype)
+    if cfg.tie_word_embeddings:
+        return params["embed"]["embedding"].T.astype(dtype)
+    raise ValueError("No LM head in params and embeddings are not tied")
+
+
+def logits_from_hidden(params: dict, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
+    return hidden @ lm_head_kernel(params, cfg, hidden.dtype)
 
 
 def forward_lm(params, cfg, input_ids, **kw):

@@ -54,6 +54,9 @@ class RunArguments:
     emb_p_only: bool = False  # stop-grad through queries
     remat: bool = True
     remat_policy: Optional[str] = None  # None|dots|dots_no_batch
+    # fuse LM head into the next-token loss (vocab-chunked logsumexp);
+    # enable for big-vocab families / long generative batches (train.py)
+    fused_ce: bool = False
     seed: int = 42
 
     # parameter-efficient training (reference --lora/--qlora,
@@ -108,6 +111,7 @@ class RunArguments:
             max_grad_norm=self.max_grad_norm,
             remat=self.remat,
             remat_policy=self.remat_policy,
+            fused_ce=self.fused_ce,
         )
 
 

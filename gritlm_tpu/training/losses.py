@@ -70,9 +70,82 @@ def next_token_loss(
     picked = jnp.take_along_axis(shift_logits, safe_labels[..., None], axis=-1)[..., 0]
     per_token = jnp.where(valid, logz - picked, 0.0)
     total = jnp.sum(per_token)
+    return _reduce_nll(total, valid, labels.shape[0], loss_type, loss_factor)
+
+
+def _reduce_nll(total, valid, batch_size: int, loss_type: str, loss_factor: float):
     if loss_type == "token":
-        return (total / labels.shape[0]) * loss_factor
+        return (total / batch_size) * loss_factor
     if loss_type == "mixed":
         denom = jnp.maximum(jnp.sum(valid), 1)
         return (total / denom) * loss_factor
     raise ValueError(f"Invalid loss_gen_type: {loss_type}")
+
+
+def fused_next_token_loss(
+    hidden: jax.Array,  # [B, S, D] final hidden states (post final-norm)
+    lm_kernel: jax.Array,  # [D, V]
+    labels: jax.Array,  # [B, S]; -100 = ignore
+    loss_type: str = "mixed",
+    loss_factor: float = 1.0,
+    vocab_chunk: int = 8192,
+) -> jax.Array:
+    """next_token_loss fused with the LM head: the [T, V] logits are never
+    materialized. Scans the head kernel in [D, vocab_chunk] slices with an
+    online (flash-style) logsumexp; each chunk's logits live only inside a
+    `jax.checkpoint` body, so autodiff recomputes them in the backward pass
+    instead of storing them. Peak extra memory is one [T, vocab_chunk] fp32
+    block instead of [T, V] (e.g. 4096x32000 fp32 = 524MB -> 134MB), the
+    matmul accumulates in fp32 on the MXU (more accurate than the unfused
+    bf16-matmul-then-upcast path), and HBM logit traffic drops ~V/chunk-fold.
+
+    Replaces the reference's torch.nn.CrossEntropyLoss over full logits
+    (gritlm/training/model.py:66-107) with the standard TPU-native
+    formulation. Exact same semantics as next_token_loss (mixed/token
+    weighting, -100 ignore); parity is pinned by tests/test_losses.py.
+    """
+    B, S, D = hidden.shape
+    V = lm_kernel.shape[1]
+    h = hidden[:, :-1].reshape(-1, D)  # [T, D], shifted
+    shift_labels = labels[:, 1:].reshape(-1)  # [T]
+    T = h.shape[0]
+    valid = shift_labels != -100
+    safe_labels = jnp.where(valid, shift_labels, 0).astype(jnp.int32)
+
+    n_chunks = -(-V // vocab_chunk)
+    pad = n_chunks * vocab_chunk - V
+    kernel = jnp.pad(lm_kernel, ((0, 0), (0, pad)))
+    # [n_chunks, D, C]: scan consumes one chunk per step; grads w.r.t. the
+    # kernel stack chunk-by-chunk (no full-logit residual anywhere)
+    kernel = kernel.reshape(D, n_chunks, vocab_chunk).transpose(1, 0, 2)
+
+    def body(carry, xs):
+        m, s, picked = carry
+        w_chunk, c_idx = xs
+        logits = jnp.einsum(
+            "td,dc->tc", h, w_chunk, preferred_element_type=jnp.float32
+        )
+        col = c_idx * vocab_chunk + jnp.arange(vocab_chunk)
+        logits = jnp.where(col[None, :] < V, logits, -jnp.inf)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=-1))
+        # m starts at -inf; exp(-inf - m_new) = 0 handles the first chunk
+        s = s * jnp.exp(m - m_new) + jnp.sum(jnp.exp(logits - m_new[:, None]), -1)
+        in_chunk = (safe_labels >= c_idx * vocab_chunk) & (
+            safe_labels < (c_idx + 1) * vocab_chunk
+        )
+        local = jnp.clip(safe_labels - c_idx * vocab_chunk, 0, vocab_chunk - 1)
+        own = jnp.take_along_axis(logits, local[:, None], axis=-1)[:, 0]
+        picked = picked + jnp.where(in_chunk, own, 0.0)
+        return (m_new, s, picked), None
+
+    init = (
+        jnp.full((T,), -jnp.inf, jnp.float32),
+        jnp.zeros((T,), jnp.float32),
+        jnp.zeros((T,), jnp.float32),
+    )
+    (m, s, picked), _ = jax.lax.scan(
+        jax.checkpoint(body), init, (kernel, jnp.arange(n_chunks))
+    )
+    lse = m + jnp.log(s)
+    per_token = jnp.where(valid, lse - picked, 0.0)
+    return _reduce_nll(jnp.sum(per_token), valid, B, loss_type, loss_factor)

@@ -31,9 +31,18 @@ import jax.numpy as jnp
 import optax
 
 from gritlm_tpu.config import ModelConfig
-from gritlm_tpu.models.transformer import forward, forward_lm, load_balancing_loss
+from gritlm_tpu.models.transformer import (
+    forward,
+    forward_lm,
+    lm_head_kernel,
+    load_balancing_loss,
+)
 from gritlm_tpu.ops.pooling import mask_instruction, pool
-from gritlm_tpu.training.losses import contrastive_loss, next_token_loss
+from gritlm_tpu.training.losses import (
+    contrastive_loss,
+    fused_next_token_loss,
+    next_token_loss,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -60,6 +69,14 @@ class TrainConfig:
     # None = full recompute (min memory); "dots" keeps matmul outputs
     # (~6% faster when activations fit)
     remat_policy: str = None
+    # fuse the LM head into the next-token loss (vocab-chunked online
+    # logsumexp, losses.fused_next_token_loss): never materializes the
+    # [T, vocab] logits. Same semantics; slightly *more* accurate (fp32 MXU
+    # accumulation). Memory/speed trade: at 32k vocab it is ~1% slower than
+    # the unfused path (extra bwd logit recompute) but caps logit memory at
+    # one [T, chunk] block — turn it on for big-vocab families (Qwen2 152k)
+    # or long generative batches that otherwise OOM.
+    fused_ce: bool = False
     router_aux_coef: Optional[float] = None  # None → cfg.router_aux_loss_coef
 
     @property
@@ -125,15 +142,27 @@ def generative_loss(
     """Returns (loss, moe_dropped_frac) — the drop fraction is 0 for dense
     models and quantifies GShard capacity overflow for MoE (the reference
     never drops; tracking it makes EP training quality measurable)."""
-    logits, _, aux = forward_lm(
-        params, cfg, gen["input_ids"],
-        attention_mask=gen["attention_mask"], causal=True,
-        remat=tc.remat, remat_policy=tc.remat_policy,
-        output_router_logits=cfg.is_moe,
-    )
-    loss = next_token_loss(
-        logits, gen["labels"], tc.loss_gen_type, tc.loss_gen_factor
-    )
+    if tc.fused_ce:
+        hidden, _, aux = forward(
+            params, cfg, gen["input_ids"],
+            attention_mask=gen["attention_mask"], causal=True,
+            remat=tc.remat, remat_policy=tc.remat_policy,
+            output_router_logits=cfg.is_moe,
+        )
+        loss = fused_next_token_loss(
+            hidden, lm_head_kernel(params, cfg, hidden.dtype), gen["labels"],
+            tc.loss_gen_type, tc.loss_gen_factor,
+        )
+    else:
+        logits, _, aux = forward_lm(
+            params, cfg, gen["input_ids"],
+            attention_mask=gen["attention_mask"], causal=True,
+            remat=tc.remat, remat_policy=tc.remat_policy,
+            output_router_logits=cfg.is_moe,
+        )
+        loss = next_token_loss(
+            logits, gen["labels"], tc.loss_gen_type, tc.loss_gen_factor
+        )
     dropped = aux.get("moe_dropped_frac", jnp.zeros((), jnp.float32))
     if cfg.is_moe:
         coef = tc.router_aux_coef if tc.router_aux_coef is not None else cfg.router_aux_loss_coef
