@@ -55,7 +55,7 @@ class RunArguments:
     remat: bool = True
     remat_policy: Optional[str] = None  # None|dots|dots_no_batch
     # fuse LM head into the next-token loss (vocab-chunked logsumexp);
-    # enable for big-vocab families / long generative batches (train.py)
+    # memory feature — enable when big-vocab logits OOM (see train.py)
     fused_ce: bool = False
     seed: int = 42
 

@@ -72,10 +72,12 @@ class TrainConfig:
     # fuse the LM head into the next-token loss (vocab-chunked online
     # logsumexp, losses.fused_next_token_loss): never materializes the
     # [T, vocab] logits. Same semantics; slightly *more* accurate (fp32 MXU
-    # accumulation). Memory/speed trade: at 32k vocab it is ~1% slower than
-    # the unfused path (extra bwd logit recompute) but caps logit memory at
-    # one [T, chunk] block — turn it on for big-vocab families (Qwen2 152k)
-    # or long generative batches that otherwise OOM.
+    # accumulation). This is a MEMORY feature, not a speed one — measured on
+    # v5e it is ~1% slower at 32k vocab/16L and ~11% slower at 152k vocab/8L
+    # (the bwd recomputes each chunk's logits, one extra head-matmul pass).
+    # Enable when the [T, vocab] logits (e.g. Qwen2's 152k vocab x long
+    # generative batches) would otherwise OOM; logit memory drops to one
+    # [T, 8192] block.
     fused_ce: bool = False
     router_aux_coef: Optional[float] = None  # None → cfg.router_aux_loss_coef
 
