@@ -33,6 +33,9 @@ class GenerateResult(NamedTuple):
     tokens: jax.Array  # [B, max_new_tokens] generated ids (pad after eos)
     num_valid: jax.Array  # [B] count of tokens up to & including eos
     cache: KVCache
+    # speculative decoding only: number of verify steps taken (acceptance
+    # rate = (sum(num_valid) - B) / (B * spec_steps) proposals/step)
+    spec_steps: Optional[jax.Array] = None
 
 
 def _prompt_positions(prev_valid: jax.Array, step_mask: jax.Array) -> jax.Array:

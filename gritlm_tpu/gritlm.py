@@ -407,7 +407,16 @@ class GritLM:
         top_k: int = 0,
         top_p: float = 1.0,
         seed: int = 0,
+        speculative: bool = False,
+        spec_ngram: int = 3,
+        spec_k: int = 7,
     ) -> GenerateResult:
+        if speculative and (temperature != 0.0 or min_new_tokens > 0):
+            raise ValueError(
+                "speculative decoding is greedy-only (temperature=0.0, "
+                "min_new_tokens=0); rejected proposals are replaced by the "
+                "model's own argmax, which has no sampling analogue here"
+            )
         # bucket the prompt length so varied-length prompts reuse compiled
         # programs (right-padding is handled by position/mask accounting in
         # generate.py) — same trick as encode's seq_buckets
@@ -471,30 +480,51 @@ class GritLM:
                          if c.quantized else None),
             )
 
+        spec_extra = 0
+        if speculative:
+            from gritlm_tpu.spec_decode import spec_cache_extra
+
+            spec_extra = spec_cache_extra(
+                max_new_tokens, spec_k, input_ids.shape[0]
+            )
         if cache is None:
             cache = make_cache_for_prompt(
                 self.config, input_ids.shape[0], input_ids.shape[1],
-                max_new_tokens, quant=self.kv_quant,
+                max_new_tokens, extra=spec_extra, quant=self.kv_quant,
             )
         else:
-            from gritlm_tpu.generate import pad_cache_to
+            from gritlm_tpu.generate import align_cache_len, pad_cache_to
 
             # same formula as required_cache_len (prompt already bucketed,
             # and _bucket is idempotent on bucket values)
-            cache = pad_cache_to(cache, self.required_cache_len(
-                input_ids.shape[1], int(cache.length), max_new_tokens
+            cache = pad_cache_to(cache, align_cache_len(
+                self.required_cache_len(
+                    input_ids.shape[1], int(cache.length), max_new_tokens
+                ) + spec_extra
             ))
         if put_cache is not None:
             cache = put_cache(cache)
-        res = generate(
-            self.params, self.config,
-            put_batch(jnp.asarray(input_ids)),
-            put_batch(jnp.asarray(attention_mask)), cache,
-            jax.random.PRNGKey(seed),
-            max_new_tokens=max_new_tokens, min_new_tokens=min_new_tokens,
-            temperature=temperature, top_k=top_k, top_p=top_p,
-            eos_id=self.tokenizer.eos_token_id, pad_id=self.tokenizer.pad_token_id,
-        )
+        if speculative:
+            from gritlm_tpu.spec_decode import generate_speculative
+
+            res = generate_speculative(
+                self.params, self.config,
+                put_batch(jnp.asarray(input_ids)),
+                put_batch(jnp.asarray(attention_mask)), cache,
+                max_new_tokens=max_new_tokens, ngram=spec_ngram, k=spec_k,
+                eos_id=self.tokenizer.eos_token_id,
+                pad_id=self.tokenizer.pad_token_id,
+            )
+        else:
+            res = generate(
+                self.params, self.config,
+                put_batch(jnp.asarray(input_ids)),
+                put_batch(jnp.asarray(attention_mask)), cache,
+                jax.random.PRNGKey(seed),
+                max_new_tokens=max_new_tokens, min_new_tokens=min_new_tokens,
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                eos_id=self.tokenizer.eos_token_id, pad_id=self.tokenizer.pad_token_id,
+            )
         if res.tokens.shape[0] != n_rows:  # drop mesh pad rows
             c = res.cache
             res = GenerateResult(
@@ -524,6 +554,9 @@ class GritLM:
         cache: Optional[KVCache] = None,
         add_special_tokens: bool = True,
         seed: int = 0,
+        speculative: bool = False,
+        spec_ngram: int = 3,
+        spec_k: int = 7,
     ) -> Union[str, List[str]]:
         was_str = isinstance(prompts, str)
         if was_str:
@@ -536,6 +569,7 @@ class GritLM:
             cache=cache, max_new_tokens=max_new_tokens,
             min_new_tokens=min_new_tokens,
             temperature=temperature, top_k=top_k, top_p=top_p, seed=seed,
+            speculative=speculative, spec_ngram=spec_ngram, spec_k=spec_k,
         )
         toks = np.asarray(res.tokens)
         nv = np.asarray(res.num_valid)

@@ -98,12 +98,26 @@ class RAGEngine:
         max_new_tokens: int = 16,
         min_new_tokens: int = 0,
         encode_max_length: int = 2048,
+        speculative: bool = False,
+        spec_ngram: int = 3,
+        spec_k: int = 7,
     ):
+        if speculative and min_new_tokens > 0:
+            raise ValueError(
+                "speculative decoding is greedy-only and does not support "
+                "min_new_tokens (EOS suppression)"
+            )
         self.model = model
         self.index = index
         self.max_new_tokens = max_new_tokens
         self.min_new_tokens = min_new_tokens
         self.encode_max_length = encode_max_length
+        # prompt-lookup speculative decoding for the answer step (greedy
+        # paths only; spec_decode.py) — the biggest win on extractive
+        # answers that quote the retrieved document
+        self.speculative = speculative
+        self.spec_ngram = spec_ngram
+        self.spec_k = spec_k
         # per-doc device memos for the B==1 path (the reference stores doc
         # caches in doc_map at build, rag/eval.py:137-148) — LRU-bounded:
         # each entry pins a full per-doc KV cache in HBM
@@ -303,9 +317,17 @@ class RAGEngine:
             [prompts[0] + ANSWER_PROMPT], add_special_tokens=False
         )
         plen = len(enc["input_ids"][0])
-        return self.model.required_cache_len(
+        total = self.model.required_cache_len(
             plen, int(a.length) + int(b.length), mnt
         )
+        if self.speculative:
+            from gritlm_tpu.generate import align_cache_len
+            from gritlm_tpu.spec_decode import spec_cache_extra
+
+            total = align_cache_len(
+                total + spec_cache_extra(mnt, self.spec_k, a.mask.shape[0])
+            )
+        return total
 
     def precompute_doc_cache(self, doc_id: int, mode: "CacheMode") -> None:
         """Encode one passage with KV capture (production would do this for
@@ -493,6 +515,8 @@ class RAGEngine:
             enc["input_ids"], enc["attention_mask"],
             cache=kv_cache, max_new_tokens=mnt,
             min_new_tokens=self.min_new_tokens,
+            speculative=self.speculative,
+            spec_ngram=self.spec_ngram, spec_k=self.spec_k,
         )
         toks = np.asarray(res.tokens)
         nv = np.asarray(res.num_valid)

@@ -85,6 +85,13 @@ def get_parser() -> argparse.ArgumentParser:
                         "doc-cache store size)")
     p.add_argument("--weight_quant", action="store_true",
                    help="w8a16 serving: int8 weights + lm head")
+    p.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative decoding for the answer "
+                        "step (greedy-only; forces --min_new_tokens 0)")
+    p.add_argument("--spec_k", type=int, default=7,
+                   help="speculative lookahead tokens per verify step")
+    p.add_argument("--spec_ngram", type=int, default=3,
+                   help="trailing n-gram length for prompt lookup")
     return p
 
 
@@ -153,8 +160,11 @@ def main(argv=None) -> dict:
     else:
         encode_max_length = 2048
     engine = RAGEngine(model, max_new_tokens=args.max_new_tokens,
-                       min_new_tokens=args.min_new_tokens,
-                       encode_max_length=encode_max_length)
+                       min_new_tokens=0 if args.speculative
+                       else args.min_new_tokens,
+                       encode_max_length=encode_max_length,
+                       speculative=args.speculative,
+                       spec_ngram=args.spec_ngram, spec_k=args.spec_k)
 
     cache_docs = args.cache_docs or (
         args.cache is not None and "doc" in args.cache

@@ -142,12 +142,12 @@ def generate_speculative(
     done0 = done0 | (out_len >= max_new_tokens)
 
     def cond(carry):
-        cache, history, hist_len, out, out_len, last_tok, done = carry
+        cache, history, hist_len, out, out_len, last_tok, done, steps = carry
         frontier = cache.length
         return jnp.logical_not(jnp.all(done)) & (frontier + k + 1 <= Smax)
 
     def body(carry):
-        cache, history, hist_len, out, out_len, last_tok, done = carry
+        cache, history, hist_len, out, out_len, last_tok, done, steps = carry
         frontier = cache.length
         active = jnp.logical_not(done)
 
@@ -221,10 +221,14 @@ def generate_speculative(
             last_tok,
         )
         done = done | hit_eos | (out_len >= max_new_tokens)
-        return (cache, history, hist_len, out, out_len, last_tok, done)
+        return (cache, history, hist_len, out, out_len, last_tok, done,
+                steps + 1)
 
-    carry = (cache, history, hist_len, out, out_len, tok0, done0)
-    cache, history, hist_len, out, out_len, _, _ = jax.lax.while_loop(
+    carry = (cache, history, hist_len, out, out_len, tok0, done0,
+             jnp.zeros((), jnp.int32))
+    cache, history, hist_len, out, out_len, _, _, steps = jax.lax.while_loop(
         cond, body, carry
     )
-    return GenerateResult(tokens=out, num_valid=out_len, cache=cache)
+    return GenerateResult(
+        tokens=out, num_valid=out_len, cache=cache, spec_steps=steps
+    )

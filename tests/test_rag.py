@@ -223,3 +223,29 @@ def test_doc_store_roundtrip_int8(tmp_path):
         if ks is not None:
             np.testing.assert_array_equal(ks2, ks)
             np.testing.assert_array_equal(vs2, vs)
+
+
+@pytest.mark.parametrize(
+    "mode", [CacheMode.PROMPT_QUERY_DOC, CacheMode.DOCQUERY, CacheMode.DOC]
+)
+def test_speculative_answers_match_plain(engine, mode):
+    """speculative=True must produce byte-identical (greedy) answers in
+    every cache mode, including concat-cache continuation."""
+    eng_spec = RAGEngine(
+        engine.model, index=engine.index, max_new_tokens=8,
+        encode_max_length=64, speculative=True, spec_k=3, spec_ngram=2,
+    )
+    eng_plain = RAGEngine(
+        engine.model, index=engine.index, max_new_tokens=8,
+        encode_max_length=64,
+    )
+    qs = ["what is fact number 3?", "tell me about place 5"]
+    a_spec = [r.answer for r in eng_spec.answer_batch(qs, mode=mode)]
+    a_plain = [r.answer for r in eng_plain.answer_batch(qs, mode=mode)]
+    assert a_spec == a_plain
+
+
+def test_speculative_rejects_min_new_tokens():
+    model = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0)
+    with pytest.raises(ValueError, match="greedy-only"):
+        RAGEngine(model, min_new_tokens=2, speculative=True)
