@@ -135,6 +135,42 @@ def bench_decode(cfg, params, quant: bool = False, weight_quant: bool = False):
     return (time.perf_counter() - t0) / (reps * DEC_STEPS) * 1e3  # ms/token
 
 
+def bench_spec_decode(cfg, params):
+    """Prompt-lookup speculative decoding ms/token: 3k-token repetitive
+    prompt (32-token motif tiled — the extractive-RAG-like case where
+    answers quote the context), B=1 latency protocol, 256 new tokens.
+    Worst-case (incompressible random text) overhead is ~0 (measured 1.02x
+    at B=1, scripts/exp_spec_decode.py); this metric tracks the win side."""
+    import jax
+    import jax.numpy as jnp
+
+    from gritlm_tpu.generate import make_cache_for_prompt
+    from gritlm_tpu.spec_decode import generate_speculative, spec_cache_extra
+
+    B, S, NEW, NGRAM, K = 1, 3000, 256, 3, 7
+    rng = np.random.default_rng(3)
+    motif = rng.integers(4, cfg.vocab_size, (B, 32))
+    ids = jnp.asarray(np.tile(motif, (1, S // 32 + 1))[:, :S], jnp.int32)
+    mask = jnp.ones((B, S), jnp.int32)
+    cache = make_cache_for_prompt(
+        cfg, B, S, NEW, extra=spec_cache_extra(NEW, K, B)
+    )
+
+    def go():
+        return generate_speculative(
+            params, cfg, ids, mask, cache,
+            max_new_tokens=NEW, ngram=NGRAM, k=K, eos_id=-1, pad_id=0,
+        )
+
+    r = go()
+    _sync(r.tokens)
+    t0 = time.perf_counter()
+    r = go()
+    _sync(r.tokens)
+    dt = time.perf_counter() - t0
+    return dt / int(r.num_valid[0]) * 1e3
+
+
 def bench_train(cfg, params):
     import jax
     import jax.numpy as jnp
@@ -207,6 +243,7 @@ def main() -> None:
     decode_ms = bench_decode(cfg, params)
     decode_ms_q8 = bench_decode(cfg, params, quant=True)
     decode_ms_w8 = bench_decode(cfg, params, quant=True, weight_quant=True)
+    spec_ms = bench_spec_decode(cfg, params)
     train_tok_s = bench_train(cfg, params)
 
     record = {}
@@ -232,6 +269,8 @@ def main() -> None:
                      higher_is_better=False)
     vs_dw8 = ratchet("decode_ms_per_token_int8w_int8kv", decode_ms_w8,
                      higher_is_better=False)
+    vs_spec = ratchet("spec_decode_ms_per_token", spec_ms,
+                      higher_is_better=False)
     vs_tr = ratchet("train_tokens_per_sec", train_tok_s)
     record.update({
         "config": "1B-class bf16",
@@ -260,6 +299,9 @@ def main() -> None:
             {"metric": "decode_ms_per_token_4k_cache_b8_1b_int8w_int8kv",
              "value": round(decode_ms_w8, 3), "unit": "ms/token",
              "vs_baseline": vs_dw8},
+            {"metric": "spec_decode_ms_per_token_3kctx_b1_1b_bf16",
+             "value": round(spec_ms, 3), "unit": "ms/token",
+             "vs_baseline": vs_spec},
             {"metric": "train_tokens_per_sec_unified_1b_bf16",
              "value": round(train_tok_s, 1), "unit": "tokens/s",
              "vs_baseline": vs_tr},

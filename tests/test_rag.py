@@ -249,3 +249,33 @@ def test_speculative_rejects_min_new_tokens():
     model = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0)
     with pytest.raises(ValueError, match="greedy-only"):
         RAGEngine(model, min_new_tokens=2, speculative=True)
+
+
+def test_speculative_multichip_matches_single_device():
+    """Speculative decoding under a sharded mesh (rows over data x fsdp)
+    must equal the single-device speculative answers — the while_loop +
+    per-row scatter path has to compile and stay exact under GSPMD."""
+    from gritlm_tpu.parallel import MeshConfig, make_mesh
+
+    docs = [
+        {"title": f"t{i}", "text": f"Repeated fact {i} repeated fact {i}."}
+        for i in range(6)
+    ]
+    queries = ["repeated fact 2?", "what about 5?"]
+
+    m_one = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0)
+    e_one = RAGEngine(m_one, max_new_tokens=6, encode_max_length=64,
+                      speculative=True, spec_k=3, spec_ngram=2)
+    e_one.build_index(docs, batch_size=4)
+
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    m_mesh = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0,
+                    mesh=mesh)
+    e_mesh = RAGEngine(m_mesh, max_new_tokens=6, encode_max_length=64,
+                       speculative=True, spec_k=3, spec_ngram=2)
+    e_mesh.build_index(docs, batch_size=4, mesh=mesh)
+
+    for mode in (CacheMode.PROMPT_QUERY_DOC, CacheMode.DOC):
+        r1 = e_one.answer_batch(list(queries), mode=mode)
+        r2 = e_mesh.answer_batch(list(queries), mode=mode)
+        assert [r.answer for r in r1] == [r.answer for r in r2], mode
