@@ -82,7 +82,7 @@ def bench_encode(cfg, params):
     return ENC_B * ENC_STEPS / (time.perf_counter() - t0)
 
 
-def bench_decode(cfg, params, quant: bool = False, weight_quant: bool = False):
+def bench_decode(cfg, params, quant: bool = False, weight_quant: int = 0):
     import jax
     import jax.numpy as jnp
 
@@ -95,7 +95,7 @@ def bench_decode(cfg, params, quant: bool = False, weight_quant: bool = False):
     if weight_quant:
         from gritlm_tpu.training.quant import quantize_for_serving
 
-        params = quantize_for_serving(params)
+        params = quantize_for_serving(params, bits=weight_quant)
     rng = np.random.default_rng(1)
     cache = init_cache(cfg, DEC_B, DEC_BUCKET, quant=quant)
     pids = jnp.asarray(
@@ -242,7 +242,8 @@ def main() -> None:
     embeds_per_sec = bench_encode(cfg, params)
     decode_ms = bench_decode(cfg, params)
     decode_ms_q8 = bench_decode(cfg, params, quant=True)
-    decode_ms_w8 = bench_decode(cfg, params, quant=True, weight_quant=True)
+    decode_ms_w8 = bench_decode(cfg, params, quant=True, weight_quant=8)
+    decode_ms_w4 = bench_decode(cfg, params, quant=True, weight_quant=4)
     spec_ms = bench_spec_decode(cfg, params)
     train_tok_s = bench_train(cfg, params)
 
@@ -268,6 +269,8 @@ def main() -> None:
     vs_dq8 = ratchet("decode_ms_per_token_int8kv", decode_ms_q8,
                      higher_is_better=False)
     vs_dw8 = ratchet("decode_ms_per_token_int8w_int8kv", decode_ms_w8,
+                     higher_is_better=False)
+    vs_dw4 = ratchet("decode_ms_per_token_int4w_int8kv", decode_ms_w4,
                      higher_is_better=False)
     vs_spec = ratchet("spec_decode_ms_per_token", spec_ms,
                       higher_is_better=False)
@@ -299,6 +302,9 @@ def main() -> None:
             {"metric": "decode_ms_per_token_4k_cache_b8_1b_int8w_int8kv",
              "value": round(decode_ms_w8, 3), "unit": "ms/token",
              "vs_baseline": vs_dw8},
+            {"metric": "decode_ms_per_token_4k_cache_b8_1b_int4w_int8kv",
+             "value": round(decode_ms_w4, 3), "unit": "ms/token",
+             "vs_baseline": vs_dw4},
             {"metric": "spec_decode_ms_per_token_3kctx_b1_1b_bf16",
              "value": round(spec_ms, 3), "unit": "ms/token",
              "vs_baseline": vs_spec},

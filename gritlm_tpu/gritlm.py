@@ -139,8 +139,10 @@ class GritLM:
         mesh=None,
         kv_quant: bool = False,  # int8 KV cache for generation (halves
         # decode cache bandwidth + doubles cache capacity; opt-in)
-        weight_quant: bool = False,  # w8a16 serving: int8 weights + lm head
-        # (halves the per-decode-step parameter stream; opt-in)
+        weight_quant: bool | int = False,  # w8a16 / w4a16 serving: True or 8
+        # → int8 weights + lm head (halves the per-decode-step parameter
+        # stream); 4 → group-wise int4 via the fused Pallas matmul
+        # (quarters it). Opt-in.
     ) -> None:
         if attn is not None and attn not in ATTN_MODES:
             raise ValueError(
@@ -165,7 +167,8 @@ class GritLM:
             from gritlm_tpu.training.quant import quantize_for_serving
 
             # layer kernels + lm head only; embed/projection stay dense
-            params = quantize_for_serving(params)
+            bits = 4 if weight_quant == 4 else 8
+            params = quantize_for_serving(params, bits=bits)
 
         # Multi-chip inference (the reference's DataParallel embedding path,
         # gritlm/gritlm.py:71-75, SURVEY §2.8 row 1): params sharded per the

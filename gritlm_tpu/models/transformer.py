@@ -115,6 +115,10 @@ def _w(node, dtype=None):
         if "q8" in node:
             out = node["q8"].astype(jnp.float32) * node["scale"]
             return out.astype(dtype or jnp.bfloat16)
+        if "q4" in node:
+            from gritlm_tpu.training.quant import dequantize_kernel_int4
+
+            return dequantize_kernel_int4(node, dtype or jnp.bfloat16)
         if "A" in node:
             base = _w(node["w"], dtype)
             delta = jnp.matmul(
@@ -123,6 +127,17 @@ def _w(node, dtype=None):
             return (base.astype(jnp.float32) + delta).astype(base.dtype)
     return node
 
+
+def _mm(x: jax.Array, node) -> jax.Array:
+    """x @ kernel-leaf. int4 serving leaves route through the fused Pallas
+    w4a16 matmul (ops/quant_matmul) when the row count is decode-shaped, so
+    HBM streams only packed nibbles (0.5 bytes/weight); every other leaf
+    kind materializes one layer's bf16 weights via _w."""
+    if isinstance(node, dict) and "q4" in node:
+        from gritlm_tpu.ops.quant_matmul import w4a16_matmul
+
+        return w4a16_matmul(x, node)
+    return x @ _w(node, x.dtype)
 
 
 def _remat(layer_fn, policy):
@@ -273,7 +288,7 @@ def _attention_block(
     H, Kv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim_
 
     def proj(wname: str, bname: str, nh: int) -> jax.Array:
-        y = x @ _w(p[wname], x.dtype)
+        y = _mm(x, p[wname])
         b = p.get(bname)  # Qwen2-family QKV biases (cfg.attention_bias)
         if b is not None:
             y = y + b.astype(y.dtype)
@@ -294,29 +309,50 @@ def _attention_block(
             q, k, v, padding_mask, causal=causal, axis_name=ring_axis,
             sliding_window=cfg.sliding_window,
         )
-        return out.reshape(B, S, H * Dh) @ _w(p["wo"], x.dtype), (k, v)
+        return _mm(out.reshape(B, S, H * Dh), p["wo"]), (k, v)
 
     if layer_cache is not None:
         k_all, v_all, k_sc, v_sc, kv_mask, offset, lidx = layer_cache
+        per_row = getattr(offset, "ndim", 0) == 1  # [B] slot offsets
+        if per_row and S != 1:
+            raise ValueError("per-row cache offsets require S == 1")
         if k_sc is not None:  # int8 cache: quantize this step's K/V
             k2, ks2 = quantize_kv(k)
             v2, vs2 = quantize_kv(v)
             # scales are slot-minor [L, B, Kv, Smax]
-            k_sc = jax.lax.dynamic_update_slice(
-                k_sc, ks2.transpose(0, 2, 1)[None], (lidx, 0, 0, offset))
-            v_sc = jax.lax.dynamic_update_slice(
-                v_sc, vs2.transpose(0, 2, 1)[None], (lidx, 0, 0, offset))
+            if per_row:
+                rows = jnp.arange(B)
+                k_sc = k_sc.at[lidx, rows, :, offset].set(ks2[:, 0, :])
+                v_sc = v_sc.at[lidx, rows, :, offset].set(vs2[:, 0, :])
+            else:
+                k_sc = jax.lax.dynamic_update_slice(
+                    k_sc, ks2.transpose(0, 2, 1)[None], (lidx, 0, 0, offset))
+                v_sc = jax.lax.dynamic_update_slice(
+                    v_sc, vs2.transpose(0, 2, 1)[None], (lidx, 0, 0, offset))
             k2, v2 = k2[None], v2[None]
         else:
             k2 = k.reshape(B, S, Kv * Dh).astype(k_all.dtype)[None]
             v2 = v.reshape(B, S, Kv * Dh).astype(v_all.dtype)[None]
-        k_all = jax.lax.dynamic_update_slice(k_all, k2, (lidx, 0, offset, 0))
-        v_all = jax.lax.dynamic_update_slice(v_all, v2, (lidx, 0, offset, 0))
+        if per_row:
+            # continuous-batching decode (serving.py): each slot appends at
+            # its OWN length. Rows are slot-dense (position ≡ slot index),
+            # so the per-row kv_mask alone encodes causality — the kernel
+            # runs mask-bounded with causal=False.
+            rows = jnp.arange(B)
+            k_all = k_all.at[lidx, rows, offset, :].set(k2[0][:, 0, :])
+            v_all = v_all.at[lidx, rows, offset, :].set(v2[0][:, 0, :])
+            att_causal, att_window = False, None
+        else:
+            k_all = jax.lax.dynamic_update_slice(
+                k_all, k2, (lidx, 0, offset, 0))
+            v_all = jax.lax.dynamic_update_slice(
+                v_all, v2, (lidx, 0, offset, 0))
+            att_causal, att_window = causal, cfg.sliding_window
         out = cached_attention(
             q, k_all, v_all, kv_mask,
             k_scale=k_sc, v_scale=v_sc,
-            layer=lidx, offset=offset, causal=causal,
-            sliding_window=cfg.sliding_window, num_kv_heads=Kv,
+            layer=lidx, offset=0 if per_row else offset, causal=att_causal,
+            sliding_window=att_window, num_kv_heads=Kv,
         )
         new_kv = (k_all, v_all, k_sc, v_sc)
     else:
@@ -325,12 +361,12 @@ def _attention_block(
             causal=causal, sliding_window=cfg.sliding_window,
         )
         new_kv = (k, v)
-    out = out.reshape(B, S, H * Dh) @ _w(p["wo"], x.dtype)
+    out = _mm(out.reshape(B, S, H * Dh), p["wo"])
     return out, new_kv
 
 
 def _dense_mlp(p: dict, x: jax.Array) -> jax.Array:
-    return (jax.nn.silu(x @ _w(p["gate"], x.dtype)) * (x @ _w(p["up"], x.dtype))) @ _w(p["down"], x.dtype)
+    return _mm(jax.nn.silu(_mm(x, p["gate"])) * _mm(x, p["up"]), p["down"])
 
 
 def _router(p: dict, xt: jax.Array, cfg: ModelConfig):
@@ -494,6 +530,7 @@ def forward(
     causal: bool = True,
     positions: Optional[jax.Array] = None,  # [B, S]
     cache: Optional[KVCache] = None,
+    row_offsets: Optional[jax.Array] = None,  # [B] per-slot cache offsets
     remat: bool = False,
     remat_policy: Optional[str] = None,
     output_router_logits: bool = False,
@@ -512,27 +549,42 @@ def forward(
     With `cache`, keys/values are written at `cache.length` and attention runs
     over all valid cache slots (cache.mask) — used for prefill + decode and
     for RAG cache reuse.
+
+    With `row_offsets` [B] (requires cache and S == 1), each batch row
+    appends at its OWN slot offset — the continuous-batching decode step
+    (serving.py), where every slot holds an independent request at an
+    independent length. Rows must be slot-dense (slot index ≡ position).
     """
     B, S = input_ids.shape
     x = jnp.take(params["embed"]["embedding"], input_ids, axis=0)
 
     if positions is None:
-        if cache is not None:
+        if row_offsets is not None:
+            positions = jnp.broadcast_to(row_offsets[:, None], (B, S))
+        elif cache is not None:
             positions = cache.length + jnp.arange(S)[None, :]
             positions = jnp.broadcast_to(positions, (B, S))
         else:
             positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
 
     if cache is not None:
-        offset = cache.length
         step_mask = (
             attention_mask
             if attention_mask is not None
             else jnp.ones((B, S), jnp.int32)
         )
-        kv_mask = jax.lax.dynamic_update_slice(
-            cache.mask, step_mask.astype(cache.mask.dtype), (0, offset)
-        )
+        if row_offsets is not None:
+            if S != 1:
+                raise ValueError("row_offsets requires S == 1")
+            offset = row_offsets
+            kv_mask = cache.mask.at[jnp.arange(B), row_offsets].max(
+                step_mask[:, 0].astype(cache.mask.dtype)
+            )
+        else:
+            offset = cache.length
+            kv_mask = jax.lax.dynamic_update_slice(
+                cache.mask, step_mask.astype(cache.mask.dtype), (0, offset)
+            )
     else:
         offset = 0
         kv_mask = None
@@ -578,7 +630,10 @@ def forward(
             (params["layers"], jnp.arange(cfg.num_hidden_layers)),
         )
         new_cache = KVCache(
-            k=k_all, v=v_all, mask=kv_mask, length=cache.length + S,
+            k=k_all, v=v_all, mask=kv_mask,
+            # per-row offsets: the scalar length is not meaningful — slot
+            # occupancy lives in the mask / the serving engine's row_lens
+            length=cache.length if row_offsets is not None else cache.length + S,
             k_scale=k_sc, v_scale=v_sc,
         )
     else:
@@ -653,6 +708,10 @@ def lm_head_kernel(params: dict, cfg: ModelConfig, dtype) -> jax.Array:
 
 
 def logits_from_hidden(params: dict, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
+    if "lm_head" in params:
+        node = params["lm_head"]["kernel"]
+        if isinstance(node, dict) and "q4" in node:
+            return _mm(hidden, node)
     return hidden @ lm_head_kernel(params, cfg, hidden.dtype)
 
 

@@ -72,9 +72,12 @@ def param_partition_specs(params: Dict[str, Any]) -> Dict[str, Any]:
 
 
 def _with_quant_leaves(spec_node: Any, param_node: Any) -> Any:
-    """Expand kernel specs where the param leaf is an int8 serving/QLoRA
-    leaf ({"q8", "scale"}, training/quant.py): q8 keeps the kernel's spec;
-    the per-output-channel scale [..., 1, out] drops the contracting axis."""
+    """Expand kernel specs where the param leaf is a quantized serving/QLoRA
+    leaf ({"q8"|"q4", "scale"}, training/quant.py): the packed values keep
+    the kernel's spec (int4's K/2 packing halves the contracting dim but
+    shards on the same axis); the scale ([..., 1, out] for int8,
+    [..., K/g, out] for int4) drops the contracting axis — its group dim is
+    small and replicating it avoids divisibility constraints."""
     from gritlm_tpu.training.quant import is_quantized_leaf
 
     if is_quantized_leaf(param_node):
@@ -82,7 +85,8 @@ def _with_quant_leaves(spec_node: Any, param_node: Any) -> Any:
         scale_spec = (
             P(*(s[:-2] + (None,) + s[-1:])) if len(s) >= 2 else P(None, None)
         )
-        return {"q8": spec_node, "scale": scale_spec}
+        qkey = "q8" if "q8" in param_node else "q4"
+        return {qkey: spec_node, "scale": scale_spec}
     if isinstance(param_node, dict) and isinstance(spec_node, dict):
         return {
             k: _with_quant_leaves(spec_node[k], v) if k in spec_node else spec_node.get(k)
