@@ -116,9 +116,12 @@ def _w(node, dtype=None):
             out = node["q8"].astype(jnp.float32) * node["scale"]
             return out.astype(dtype or jnp.bfloat16)
         if "q4" in node:
+            from gritlm_tpu.ops.quant_matmul import _slice_node
             from gritlm_tpu.training.quant import dequantize_kernel_int4
 
-            return dequantize_kernel_int4(node, dtype or jnp.bfloat16)
+            return dequantize_kernel_int4(
+                _slice_node(node), dtype or jnp.bfloat16
+            )
         if "A" in node:
             base = _w(node["w"], dtype)
             delta = jnp.matmul(
@@ -138,6 +141,44 @@ def _mm(x: jax.Array, node) -> jax.Array:
 
         return w4a16_matmul(x, node)
     return x @ _w(node, x.dtype)
+
+
+def _split_q4_leaves(layers: dict):
+    """Partition the stacked layer tree for the layer scan: int4 serving
+    leaves ({"q4","scale"} dicts) are *removed* from the scan xs and
+    returned separately, still layer-stacked. Scanning them as xs would
+    dynamic-slice the packed weights per layer — and because the consumer
+    is a Pallas custom call, XLA must MATERIALIZE that slice (a full HBM
+    copy of every weight, every layer, every decode step; measured ~650us
+    of a ~3.7ms step on the 1B bench). The kernel instead takes the whole
+    stacked array plus the layer index (scalar prefetch) and streams
+    blocks straight out of the resident buffer.
+
+    Returns (xs_tree, stacked) where xs_tree has None at the extracted
+    positions and stacked maps key-paths to the stacked q4 nodes."""
+    stacked = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            if "q4" in node and "scale" in node:
+                stacked[path] = node
+                return None
+            return {k: walk(v, path + (k,)) for k, v in node.items()}
+        return node
+
+    xs = walk(layers, ())
+    return xs, stacked
+
+
+def _merge_q4_leaves(lp: dict, stacked: dict, lidx) -> dict:
+    """Re-insert the stacked q4 nodes into a per-layer slice of the scan xs,
+    tagging each with this iteration's layer index for the kernel."""
+    for path, node in stacked.items():
+        d = lp
+        for k in path[:-1]:
+            d = d[k]
+        d[path[-1]] = {**node, "lidx": lidx}
+    return lp
 
 
 def _remat(layer_fn, policy):
@@ -605,6 +646,11 @@ def forward(
             dropped = jnp.zeros((), jnp.float32)
         return x + mlp_out, new_kv, router_logits, dropped
 
+    # int4 serving leaves ride the scan as loop-invariant closures (scalar-
+    # prefetch indexed inside the kernel), never as sliced xs — see
+    # _split_q4_leaves for why.
+    layers_xs, q4_stacked = _split_q4_leaves(params["layers"])
+
     new_cache = None
     aux = {}
     if cache is not None:
@@ -616,6 +662,8 @@ def forward(
         def layer_fn(carry, lp_and_idx):
             x, k_all, v_all, k_sc, v_sc = carry
             lp, lidx = lp_and_idx
+            if q4_stacked:
+                lp = _merge_q4_leaves(lp, q4_stacked, lidx)
             x, (k_all, v_all, k_sc, v_sc), router_logits, dropped = _block(
                 x, lp, (k_all, v_all, k_sc, v_sc, kv_mask, offset, lidx)
             )
@@ -627,7 +675,7 @@ def forward(
         (x, k_all, v_all, k_sc, v_sc), ys = jax.lax.scan(
             layer_fn,
             (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
-            (params["layers"], jnp.arange(cfg.num_hidden_layers)),
+            (layers_xs, jnp.arange(cfg.num_hidden_layers)),
         )
         new_cache = KVCache(
             k=k_all, v=v_all, mask=kv_mask,
@@ -637,8 +685,11 @@ def forward(
             k_scale=k_sc, v_scale=v_sc,
         )
     else:
-        def layer_fn(carry, lp):
+        def layer_fn(carry, lp_and_idx):
             x = carry
+            lp, lidx = lp_and_idx
+            if q4_stacked:
+                lp = _merge_q4_leaves(lp, q4_stacked, lidx)
             x, _, router_logits, dropped = _block(x, lp, None)
             # Only stack what callers will read: router logits when training
             # asks for them. Unconditional ys would burn HBM on stacks
@@ -648,7 +699,9 @@ def forward(
 
         if remat:
             layer_fn = _remat(layer_fn, remat_policy)
-        x, ys = jax.lax.scan(layer_fn, x, params["layers"])
+        x, ys = jax.lax.scan(
+            layer_fn, x, (layers_xs, jnp.arange(cfg.num_hidden_layers))
+        )
 
     if final_norm:
         x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)

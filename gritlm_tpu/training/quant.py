@@ -21,7 +21,13 @@ import jax.numpy as jnp
 
 DEFAULT_TARGETS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
 
-INT4_GROUP_SIZE = 128  # contracting-dim group for the w4 scale
+# Contracting-dim group for the w4 scale. 32 (vs the GPU-conventional 128)
+# buys both quality (finer absmax groups) and speed: the Pallas kernel wants
+# groups-per-block to be a multiple of the 8-sublane tile so the blocked
+# scale view is a free bitcast of the stored (8,128)-tiled layout
+# (ops/quant_matmul design note 3). Scale overhead is f32/32 = 0.125
+# B/weight on top of the 0.5 B/weight nibbles — still half of int8.
+INT4_GROUP_SIZE = 32
 
 
 def is_quantized_leaf(node) -> bool:
@@ -52,9 +58,12 @@ def quantize_kernel_int4(
     """Group-wise symmetric int4 (w4a16 serving): contracting-dim groups of
     `group_size` share one fp32 absmax/7 scale. Two nibbles pack into one
     uint8 (offset-binary, value = nibble - 8): the LOW nibble of packed row
-    r holds contracting row 2r, the HIGH nibble row 2r+1 — matching the
-    even/odd split-dot consumed by ops/quant_matmul.w4a16_matmul, which
-    never materializes the interleaved weight.
+    r holds contracting row r, the HIGH nibble row r + K/2 (half-split) —
+    so the split-dot in ops/quant_matmul.w4a16_matmul consumes x as two
+    *contiguous* lane windows (x[:, :K/2] and x[:, K/2:]) and never
+    materializes a de-interleave (strided gathers on the hot decode path,
+    and an unsupported-in-Mosaic lane reshape in-kernel, are what the
+    earlier even/odd pairing cost).
 
     Leaf convention: {"q4": uint8 [..., K/2, N], "scale": f32 [..., K/g, N]}.
     HBM traffic at decode drops to 0.5 bytes/weight (+ ~0.03 for scales) —
@@ -74,8 +83,8 @@ def quantize_kernel_int4(
     scale = jnp.maximum(absmax, 1e-8) / 7.0
     q = jnp.clip(jnp.round(wf / scale), -8, 7).astype(jnp.int32)
     q = q.reshape(*lead, K, N) + 8  # offset-binary in [0, 16)
-    lo = q[..., 0::2, :]
-    hi = q[..., 1::2, :]
+    lo = q[..., : K // 2, :]
+    hi = q[..., K // 2 :, :]
     packed = (lo | (hi << 4)).astype(jnp.uint8)  # [..., K/2, N]
     return {
         "q4": packed,
@@ -86,11 +95,9 @@ def quantize_kernel_int4(
 def unpack_int4(node: dict):
     """{"q4","scale"} → (values int32 [..., K, N] in [-8,7], scale)."""
     packed = node["q4"].astype(jnp.int32)
-    lo = (packed & 0xF) - 8
-    hi = (packed >> 4) - 8
-    *lead, Kp, N = packed.shape
-    q = jnp.stack([lo, hi], axis=-2)  # [..., Kp, 2, N]
-    return q.reshape(*lead, 2 * Kp, N), node["scale"]
+    lo = (packed & 0xF) - 8  # contracting rows [0, K/2)
+    hi = (packed >> 4) - 8  # contracting rows [K/2, K)
+    return jnp.concatenate([lo, hi], axis=-2), node["scale"]
 
 
 def dequantize_kernel_int4(node: dict, dtype=jnp.bfloat16) -> jax.Array:

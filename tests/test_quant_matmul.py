@@ -53,9 +53,9 @@ def test_int4_quantization_error_bounded():
 @pytest.mark.parametrize(
     "M,K,N,g",
     [
-        (8, 512, 256, 128),  # decode-shaped, multi-group blocks
-        (3, 256, 384, 128),  # M needs padding; single k-block
-        (16, 1024, 512, 64),  # two k-blocks at kbp cap
+        (8, 512, 256, 32),  # decode-shaped, single k-block (gbh=8)
+        (3, 512, 384, 32),  # M needs padding
+        (16, 2048, 512, 16),  # four k-blocks at kbp cap, gbh=16
     ],
 )
 def test_w4_kernel_matches_reference(monkeypatch, M, K, N, g):
