@@ -1,0 +1,390 @@
+"""Continuous-batching serving engine: ragged requests, full decode batches.
+
+The reference has no serving layer at all — its decode path is lockstep HF
+`generate` over one fixed batch (gritlm/gritlm.py:34, rag/eval.py:296-302):
+every request in a batch waits for the longest one, and a new request waits
+for the whole batch. This module is the TPU-native extension for production
+serving (Orca/vLLM-style iteration-level scheduling):
+
+  * a fixed pool of B cache slots, each holding an independent request at
+    an independent length (`forward(row_offsets=...)` — every decode step
+    appends each row's K/V at its OWN write pointer);
+  * per-request prefill into a free slot (bucketed prompt lengths, so a
+    handful of compiled programs cover any arrival);
+  * one jitted decode chunk for the whole pool; finished rows (EOS /
+    max_new_tokens) free their slot and the next queued request is
+    admitted — the decode batch stays full under ragged arrival.
+
+Works with every serving weight/cache format: bf16, int8 KV
+(`kv_quant=True`), w8a16 / w4a16 weights (pass pre-quantized params —
+training/quant.quantize_for_serving).
+
+Design notes (TPU):
+  - ALL decode state is device-resident and threaded through one carry
+    (next-token ids, KV pool, per-row write pointers, active flags, token
+    budgets). The host scheduler only touches the carry through two
+    compiled programs (insert-after-prefill, decode-chunk), so chunks
+    chain on device with no host round-trip between them.
+  - The decode chunk is a `lax.scan` over `chunk_size` tokens with
+    on-device EOS/budget masking (rows that finish mid-chunk go inactive
+    and stop appending). One host<->device round-trip per token would put
+    dispatch latency on the critical path of every token (measured 150+ms
+    per step through a remote-TPU tunnel); chunking amortizes it.
+  - `overlap=True` (default) pipelines host and device: chunk k+1 is
+    DISPATCHED before chunk k's results are read, and results stream back
+    via `copy_to_host_async` while the device computes — the fetch is a
+    memcpy of data that already landed, so the device queue never drains.
+    The cost is that a slot freed in chunk k is only re-admitted at chunk
+    k+2 (<=2*chunk_size idle slot-steps per completion). `overlap=False`
+    gives strict admit-before-decode scheduling for deterministic tests.
+  - Admission prefills same-bucket requests as one batch (rows padded to
+    a power of two to bound the executable count); the first sampled
+    token stays on device and is folded into the carry by the insert
+    program, so admission never blocks the pipeline either — first
+    tokens are read lazily at the next result-processing point.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gritlm_tpu.config import ModelConfig
+from gritlm_tpu.models.transformer import (
+    KVCache,
+    forward,
+    init_cache,
+    logits_from_hidden,
+)
+
+
+@dataclass
+class Request:
+    """One generation request (token-id level; tokenize outside)."""
+
+    input_ids: List[int]
+    max_new_tokens: int = 16
+    request_id: Optional[str] = None
+
+
+@dataclass
+class Completion:
+    request_id: Optional[str]
+    token_ids: List[int]  # generated ids, EOS included when emitted
+    finish_reason: str  # "eos" | "length"
+    prompt_len: int = 0
+
+
+@dataclass
+class _Slot:
+    request: Request
+    generated: List[int] = field(default_factory=list)
+    # (device firsts array, row) — the prefill's first sampled token,
+    # fetched lazily so admission never blocks on the device
+    first_src: Optional[Tuple[jax.Array, int]] = None
+
+
+def _bucket(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds largest bucket {buckets[-1]}")
+
+
+# ---------------------------------------------------------------------------
+# Jitted programs. Module-level (NOT methods): the jit cache is keyed on the
+# function object, so per-instance bound methods would recompile every
+# program for every new engine — at 1B scale that turned a warm 2s serve
+# into ~16s the first time each engine object ran.
+#
+# The carry threaded through insert/decode is
+#   (tok [B] int32, cache KVCache, row_lens [B] int32,
+#    active [B] bool, remaining [B] int32)
+# and is donated everywhere, so the pool updates in place.
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "bucket", "rows", "quant")
+)
+def _prefill_program(params, cfg, ids, mask, *, bucket, rows, quant):
+    """[rows, bucket] right-padded prompts → (row-batch KVCache, first
+    greedy token per row). Row caches are slot-dense (position == slot),
+    the contract forward(row_offsets=...) requires. Queued same-bucket
+    requests prefill together (rows is padded to a power of two so a
+    handful of executables cover any admission batch; all-pad dummy rows
+    produce garbage that is never inserted)."""
+    cache = init_cache(cfg, rows, bucket, quant=quant)
+    hidden, cache, _ = forward(
+        params, cfg, ids, attention_mask=mask, causal=True, cache=cache
+    )
+    last = jnp.maximum(jnp.sum(mask, axis=1) - 1, 0)  # [rows]
+    h_last = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
+    logits = logits_from_hidden(params, cfg, h_last)[:, 0]
+    return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("eos_id",))
+def _insert_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
+                    length, max_new, *, eos_id):
+    """Fold prefilled row `row_idx` into pool slot `slot`: copy its K/V,
+    rebuild the slot's mask from `length` (bucket padding is dead space
+    beyond it), and arm the decode carry — pending token = the prefill's
+    first sample, write pointer = prompt length, budget = max_new - 1
+    (the first token is already spent). The carry is donated, so the
+    update is in place and chains between in-flight decode chunks."""
+    tok, cache, row_lens, active, remaining = carry
+
+    def put(pool, batch, axis_b=1):
+        row = jax.lax.dynamic_slice_in_dim(batch, row_idx, 1, axis=axis_b)
+        start = (0,) * axis_b + (slot,) + (0,) * (pool.ndim - axis_b - 1)
+        return jax.lax.dynamic_update_slice(pool, row, start)
+
+    k = put(cache.k, rows_cache.k)
+    v = put(cache.v, rows_cache.v)
+    row_mask = (
+        jnp.arange(cache.max_len) < length
+    ).astype(cache.mask.dtype)[None, :]
+    mask = jax.lax.dynamic_update_slice(cache.mask, row_mask, (slot, 0))
+    scales = {}
+    if cache.quantized:
+        scales = dict(
+            k_scale=put(cache.k_scale, rows_cache.k_scale),
+            v_scale=put(cache.v_scale, rows_cache.v_scale),
+        )
+    cache = cache._replace(k=k, v=v, mask=mask, **scales)
+
+    first = jnp.take(firsts, row_idx)
+    rem = max_new - 1
+    tok = tok.at[slot].set(first)
+    row_lens = row_lens.at[slot].set(length)
+    active = active.at[slot].set((first != eos_id) & (rem > 0))
+    remaining = remaining.at[slot].set(rem)
+    return tok, cache, row_lens, active, remaining
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(2,),
+    static_argnames=("cfg", "steps", "eos_id", "pad_id"),
+)
+def _decode_chunk_program(params, cfg, carry, *, steps, eos_id, pad_id):
+    """`steps` pool-wide decode iterations on device. Each iteration
+    appends every active row's pending token at its own offset and samples
+    the next greedily; a row goes inactive the moment it emits EOS or
+    exhausts its token budget, so the host only intervenes at chunk
+    boundaries. Returns the final carry plus stacked (tokens, emitted)
+    [steps, B]."""
+
+    def body(c, _):
+        tok, cache, row_lens, active, remaining = c
+        hidden, cache, _ = forward(
+            params, cfg, tok[:, None], causal=True,
+            attention_mask=active[:, None].astype(jnp.int32),
+            cache=cache, row_offsets=row_lens,
+        )
+        logits = logits_from_hidden(params, cfg, hidden)[:, 0]
+        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        emitted = active
+        nxt = jnp.where(active, nxt, pad_id)
+        row_lens = row_lens + active.astype(jnp.int32)
+        remaining = remaining - active.astype(jnp.int32)
+        active = active & (nxt != eos_id) & (remaining > 0)
+        return (nxt, cache, row_lens, active, remaining), (nxt, emitted)
+
+    carry, (toks, emitted) = jax.lax.scan(body, carry, None, length=steps)
+    return carry, toks, emitted
+
+
+class ServingEngine:
+    """Continuous-batching decode over a fixed slot pool.
+
+    >>> eng = ServingEngine(cfg, params, max_batch=8, max_len=4096)
+    >>> done = eng.run([Request(ids, max_new_tokens=64), ...])
+
+    Greedy decoding (the serving default and the parity-testable mode;
+    sampling belongs to the lockstep generate path, gritlm_tpu/generate.py).
+    Completions include the EOS token when one was emitted, matching
+    generate()'s num_valid accounting."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: dict,
+        *,
+        max_batch: int = 8,
+        max_len: int = 4096,
+        kv_quant: bool = False,
+        eos_id: int = 2,
+        pad_id: int = 0,
+        chunk_size: int = 16,
+        prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048),
+        overlap: bool = True,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.B = max_batch
+        self.max_len = max_len
+        self.eos_id = eos_id
+        self.pad_id = pad_id
+        self.chunk_size = chunk_size
+        self.buckets = [b for b in prompt_buckets if b <= max_len]
+        self.overlap = overlap
+
+        self.kv_quant = kv_quant
+        self.carry = (
+            jnp.full((max_batch,), pad_id, jnp.int32),
+            init_cache(cfg, max_batch, max_len, quant=kv_quant),
+            jnp.zeros((max_batch,), jnp.int32),
+            jnp.zeros((max_batch,), jnp.bool_),
+            jnp.zeros((max_batch,), jnp.int32),
+        )
+        self.slots: Dict[int, _Slot] = {}
+        self.queue: List[Request] = []
+        self.finished: List[Completion] = []
+        self._prev = None  # in-flight chunk's (toks, emitted) device arrays
+        self._steps = 0  # device decode steps taken (for stats)
+
+    # ---- scheduler ----------------------------------------------------
+
+    def submit(self, req: Request) -> None:
+        if len(req.input_ids) + req.max_new_tokens > self.max_len:
+            raise ValueError(
+                f"prompt {len(req.input_ids)} + max_new {req.max_new_tokens} "
+                f"exceeds pool max_len {self.max_len}"
+            )
+        self.queue.append(req)
+
+    def _admit(self) -> None:
+        free = [i for i in range(self.B) if i not in self.slots]
+        if not self.queue or not free:
+            return
+        take = [self.queue.pop(0) for _ in range(
+            min(len(free), len(self.queue)))]
+        groups: Dict[int, List[Request]] = {}
+        for r in take:
+            b = _bucket(len(r.input_ids), self.buckets)
+            groups.setdefault(b, []).append(r)
+        for bucket, rs in groups.items():
+            # same-bucket requests prefill as one batch (rows padded to
+            # a power of two to bound the executable count)
+            rows = 1 << max(0, len(rs) - 1).bit_length()
+            ids = np.full((rows, bucket), self.pad_id, np.int32)
+            mask = np.zeros((rows, bucket), np.int32)
+            for j, r in enumerate(rs):
+                n = len(r.input_ids)
+                ids[j, :n] = r.input_ids
+                mask[j, :n] = 1
+            rowc, firsts = _prefill_program(
+                self.params, self.cfg, jnp.asarray(ids),
+                jnp.asarray(mask), bucket=bucket, rows=rows,
+                quant=self.kv_quant,
+            )
+            firsts.copy_to_host_async()
+            for j, r in enumerate(rs):
+                slot = free.pop(0)
+                self.carry = _insert_program(
+                    self.carry, rowc, firsts, jnp.int32(j), jnp.int32(slot),
+                    jnp.int32(len(r.input_ids)),
+                    jnp.int32(r.max_new_tokens), eos_id=self.eos_id,
+                )
+                self.slots[slot] = _Slot(request=r, first_src=(firsts, j))
+
+    def _maybe_finish(self, slot: int, tok: int) -> None:
+        s = self.slots[slot]
+        done_eos = tok == self.eos_id
+        done_len = len(s.generated) >= s.request.max_new_tokens
+        if done_eos or done_len:
+            self.finished.append(
+                Completion(
+                    request_id=s.request.request_id,
+                    token_ids=list(s.generated),
+                    finish_reason="eos" if done_eos else "length",
+                    prompt_len=len(s.request.input_ids),
+                )
+            )
+            del self.slots[slot]
+            # slot's cache rows stay as dead data; mask is rebuilt on the
+            # next insert, so no cleanup pass is needed
+
+    def _resolve_firsts(self) -> None:
+        """Fetch any pending prefill first-tokens (lazily, so admission
+        itself never blocked on them) and account them as emissions."""
+        fetched: Dict[int, np.ndarray] = {}
+        for slot in list(self.slots):
+            s = self.slots[slot]
+            if s.first_src is None:
+                continue
+            arr, j = s.first_src
+            key = id(arr)
+            if key not in fetched:
+                fetched[key] = np.asarray(arr)
+            s.first_src = None
+            first = int(fetched[key][j])
+            s.generated.append(first)
+            self._maybe_finish(slot, first)
+
+    def _process(self, chunk) -> None:
+        """Read one chunk's results off device and retire finished rows.
+        First tokens resolve first — a slot's prefill sample precedes its
+        chunk emissions in the stream."""
+        self._resolve_firsts()
+        if chunk is None:
+            return
+        toks_d, emitted_d = chunk
+        toks = np.asarray(toks_d)  # [steps, B]
+        emitted = np.asarray(emitted_d)
+        for i in list(self.slots.keys()):
+            # each emission wrote one pending token's K/V and advanced the
+            # device row pointer once; rows the device already stopped
+            # (EOS/budget) have emitted=False, so stale chunk data for a
+            # reused slot index is self-masking
+            s = self.slots[i]
+            for t in toks[emitted[:, i], i].tolist():
+                s.generated.append(int(t))
+                self._maybe_finish(i, int(t))
+                if i not in self.slots:
+                    break  # device stopped this row too (EOS/budget)
+
+    def step(self) -> int:
+        """One scheduler iteration: admit what fits, dispatch one device
+        chunk (`chunk_size` decode iterations) for the pool, and process
+        results. With overlap=True the chunk processed is the PREVIOUS
+        one (its bytes already streamed back while this chunk computes);
+        with overlap=False results are consumed before admitting, so a
+        freed slot is refilled the same step it frees. Returns the number
+        of host-known-occupied slots at dispatch (0 = idle)."""
+        if not self.overlap:
+            self._process(self._prev)
+            self._prev = None
+        self._admit()
+        n_active = len(self.slots)
+        cur = None
+        if self.slots:
+            self.carry, toks, emitted = _decode_chunk_program(
+                self.params, self.cfg, self.carry,
+                steps=self.chunk_size, eos_id=self.eos_id,
+                pad_id=self.pad_id,
+            )
+            toks.copy_to_host_async()
+            emitted.copy_to_host_async()
+            self._steps += self.chunk_size
+            cur = (toks, emitted)
+        if self.overlap:
+            self._process(self._prev)
+        self._prev = cur
+        return n_active if cur is not None else 0
+
+    def run(self, requests: Sequence[Request] = ()) -> List[Completion]:
+        """Serve until queue and pool drain; returns completions in finish
+        order."""
+        for r in requests:
+            self.submit(r)
+        while self.queue or self.slots or self._prev is not None:
+            self.step()
+        out, self.finished = self.finished, []
+        return out
