@@ -224,9 +224,9 @@ class ServingEngine:
         chunk_size: int = 16,
         prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048),
         overlap: bool = True,
+        mesh=None,
     ):
         self.cfg = cfg
-        self.params = params
         self.B = max_batch
         self.max_len = max_len
         self.eos_id = eos_id
@@ -235,13 +235,55 @@ class ServingEngine:
         self.buckets = [b for b in prompt_buckets if b <= max_len]
         self.overlap = overlap
 
+        # Multi-chip serving: params sharded per the GSPMD rules (TP/FSDP),
+        # the slot pool and all [B] carry vectors sharded over the batch
+        # axes — the SAME compiled programs run and XLA inserts the
+        # collectives (mirrors GritLM's mesh-sharded generate path,
+        # gritlm.py:436-484). mesh=None → single default device.
+        self.mesh = mesh
+        self._put_rows = jnp.asarray  # prefill inputs [rows, bucket]
+        _put_vec = jnp.asarray  # carry vectors [B]
+        _put_cache = lambda c: c
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from gritlm_tpu.parallel.mesh import BATCH_AXES
+            from gritlm_tpu.parallel.sharding import shard_params
+
+            axes = tuple(a for a in BATCH_AXES if a in mesh.shape)
+            self._batch_shards = int(
+                np.prod([mesh.shape[a] for a in axes], dtype=np.int64)
+            )
+            if max_batch % self._batch_shards:
+                raise ValueError(
+                    f"max_batch {max_batch} not divisible by the mesh's "
+                    f"batch shards {self._batch_shards}"
+                )
+            batch = NamedSharding(mesh, P(axes))
+            row1 = NamedSharding(mesh, P(None, axes))
+            params = shard_params(mesh, params)
+            _put_vec = lambda x: jax.device_put(jnp.asarray(x), batch)
+            _put_cache = lambda c: c._replace(
+                k=jax.device_put(c.k, row1),
+                v=jax.device_put(c.v, row1),
+                mask=jax.device_put(c.mask, batch),
+                **(dict(k_scale=jax.device_put(c.k_scale, row1),
+                        v_scale=jax.device_put(c.v_scale, row1))
+                   if c.quantized else {}),
+            )
+            self._put_rows = lambda x: (
+                jax.device_put(jnp.asarray(x), batch)
+                if x.shape[0] % self._batch_shards == 0 else jnp.asarray(x)
+            )
+        self.params = params
+
         self.kv_quant = kv_quant
         self.carry = (
-            jnp.full((max_batch,), pad_id, jnp.int32),
-            init_cache(cfg, max_batch, max_len, quant=kv_quant),
-            jnp.zeros((max_batch,), jnp.int32),
-            jnp.zeros((max_batch,), jnp.bool_),
-            jnp.zeros((max_batch,), jnp.int32),
+            _put_vec(np.full(max_batch, pad_id, np.int32)),
+            _put_cache(init_cache(cfg, max_batch, max_len, quant=kv_quant)),
+            _put_vec(np.zeros(max_batch, np.int32)),
+            _put_vec(np.zeros(max_batch, bool)),
+            _put_vec(np.zeros(max_batch, np.int32)),
         )
         self.slots: Dict[int, _Slot] = {}
         self.queue: List[Request] = []
@@ -280,8 +322,8 @@ class ServingEngine:
                 ids[j, :n] = r.input_ids
                 mask[j, :n] = 1
             rowc, firsts = _prefill_program(
-                self.params, self.cfg, jnp.asarray(ids),
-                jnp.asarray(mask), bucket=bucket, rows=rows,
+                self.params, self.cfg, self._put_rows(ids),
+                self._put_rows(mask), bucket=bucket, rows=rows,
                 quant=self.kv_quant,
             )
             firsts.copy_to_host_async()

@@ -161,6 +161,23 @@ def test_completion_metadata(model):
         assert len(done.token_ids) == MAXNEW
 
 
+def test_mesh_sharded_engine_matches_oracle(model):
+    """Multi-chip serving: the same scheduler over a (data=4, fsdp=2)
+    GSPMD mesh — slot pool sharded over the batch axes, params over the
+    FSDP rules — stays token-exact vs the single-device solo oracle."""
+    from gritlm_tpu.parallel import MeshConfig, make_mesh
+
+    cfg, params = model
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    reqs = _requests(cfg, [3, 9, 5, 12, 7])
+    eng = ServingEngine(
+        cfg, params, max_batch=8, max_len=64, chunk_size=4,
+        prompt_buckets=(16,), mesh=mesh,
+    )
+    done = eng.run(reqs)
+    _check_parity(cfg, params, done, reqs)
+
+
 def test_rejects_oversized_request(model):
     cfg, params = model
     eng = ServingEngine(
