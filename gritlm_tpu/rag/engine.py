@@ -173,11 +173,24 @@ class RAGEngine:
         offloaded to CPU). Caches live on host as bf16 numpy, trimmed to each
         doc's real token length; answer_batch fetches + device_puts on hit
         for any batch size."""
+        self._ensure_doc_entries(
+            range(len(self.index.passages)), after_query=after_query,
+            batch_size=batch_size,
+        )
+
+    def _ensure_doc_entries(
+        self, doc_ids, after_query: bool = False, batch_size: int = 8
+    ) -> None:
+        """Encode any docs missing from the host store (no-op on full hit)."""
         import jax
 
-        n = len(self.index.passages)
-        for start in range(0, n, batch_size):
-            docs = self.index.passages[start : start + batch_size]
+        missing = sorted(
+            {int(d) for d in doc_ids
+             if (int(d), after_query) not in self._doc_store}
+        )
+        for start in range(0, len(missing), batch_size):
+            ids = missing[start : start + batch_size]
+            docs = [self.index.passages[d] for d in ids]
             doc_strs = [
                 _doc_string(p) for p in docs
             ]
@@ -201,9 +214,9 @@ class RAGEngine:
             if cache.quantized:  # scales are slot-minor [L, b, Kv, S]
                 ks = np.asarray(jax.device_get(cache.k_scale[..., :wmax]))
                 vs = np.asarray(jax.device_get(cache.v_scale[..., :wmax]))
-            for i in range(len(docs)):
+            for i, d in enumerate(ids):
                 w = int(m[i].sum())  # right-padded → valid prefix
-                self._doc_store[(start + i, after_query)] = (
+                self._doc_store[(d, after_query)] = (
                     k[:, i, :w], v[:, i, :w], w,
                     None if ks is None else ks[:, i, :, :w],
                     None if vs is None else vs[:, i, :, :w],
@@ -527,6 +540,78 @@ class RAGEngine:
                     toks[i, : nv[i]], skip_special_tokens=True
                 ),
                 passages=passages[i], scores=scores[i], seconds=per_q,
+            )
+            for i in range(B)
+        ]
+
+    def serve(
+        self,
+        queries: List[str],
+        max_new_tokens: Optional[int] = None,
+        slots: int = 8,
+        chunk_size: int = 16,
+        pool_max_len: int = 4096,
+        prompt_buckets=(64, 128, 256, 512),
+    ) -> List[RAGResult]:
+        """Continuous-batching RAG serving: retrieve per query, reuse each
+        document's precomputed KV cache from the host doc store, and decode
+        every answer through ONE ServingEngine slot pool (doc-cache mode).
+
+        vs answer_batch(mode=DOC): lockstep batching pads every doc cache
+        to the batch max width and every answer waits for the batch's
+        slowest row; here each request occupies a slot at its own doc
+        bucket and frees it the moment its answer finishes — greedy
+        answers are identical (same caches, same positions accounting),
+        throughput scales with slot occupancy instead of the worst row.
+        The reference evaluates doc-cache mode strictly query-by-query
+        (rag/eval.py:199-302)."""
+        from gritlm_tpu.serving import Request, ServingEngine
+
+        t0 = time.perf_counter()
+        mnt = max_new_tokens or self.max_new_tokens
+        B = len(queries)
+        if B == 0:
+            return []
+        q_emb = self.model.encode_queries(
+            queries, instruction=gritlm_instruction(""),
+            max_length=self.encode_max_length, convert_to_tensor=True,
+        )
+        sc, ids = self.index.search(q_emb, k=1)
+        doc_ids = [int(i) for i in ids[:, 0]]
+        self._ensure_doc_entries(doc_ids, after_query=False)
+
+        prompts = [
+            CONT_AFTER_DOC_CACHE.format(query=q) + ANSWER_PROMPT
+            for q in queries
+        ]
+        enc = self.model.tokenizer(prompts, add_special_tokens=False)
+        eng = ServingEngine(
+            self.model.config, self.model.params,
+            max_batch=slots, max_len=pool_max_len,
+            kv_quant=self.model.kv_quant,
+            eos_id=self.model.tokenizer.eos_token_id,
+            pad_id=self.model.tokenizer.pad_token_id,
+            chunk_size=chunk_size, prompt_buckets=prompt_buckets,
+            mesh=self.model.mesh,
+        )
+        done = eng.run([
+            Request(
+                input_ids=[t for t, m in zip(enc["input_ids"][i],
+                                             enc["attention_mask"][i]) if m],
+                max_new_tokens=mnt, request_id=str(i),
+                doc_cache=self._doc_store[(doc_ids[i], False)],
+            )
+            for i in range(B)
+        ])
+        per_q = (time.perf_counter() - t0) / B
+        by_id = {int(c.request_id): c for c in done}
+        return [
+            RAGResult(
+                answer=self.model.tokenizer.decode(
+                    by_id[i].token_ids, skip_special_tokens=True
+                ),
+                passages=[self.index.passages[doc_ids[i]]],
+                scores=[float(sc[i, 0])], seconds=per_q,
             )
             for i in range(B)
         ]

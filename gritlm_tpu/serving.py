@@ -65,11 +65,21 @@ from gritlm_tpu.models.transformer import (
 
 @dataclass
 class Request:
-    """One generation request (token-id level; tokenize outside)."""
+    """One generation request (token-id level; tokenize outside).
+
+    `doc_cache` admits the request as a CONTINUATION of a precomputed KV
+    cache (the RAG doc-cache serving flow — reference rag/eval.py:237-302
+    does this lockstep-only): a host tuple `(k, v, w, k_scale, v_scale)`
+    in the RAGEngine doc-store entry format (k/v `[L, w, Kv*Dh]`, `w` the
+    valid token count, scales `[L, Kv, w]` or None). The prompt then
+    prefills BEHIND the cached document (positions continue at w) and the
+    request decodes like any other — so one pool serves cached-doc RAG
+    queries and plain generation side by side."""
 
     input_ids: List[int]
     max_new_tokens: int = 16
     request_id: Optional[str] = None
+    doc_cache: Optional[tuple] = None
 
 
 @dataclass
@@ -103,9 +113,12 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
 # into ~16s the first time each engine object ran.
 #
 # The carry threaded through insert/decode is
-#   (tok [B] int32, cache KVCache, row_lens [B] int32,
+#   (tok [B] int32, cache KVCache, row_lens [B] int32, row_pos [B] int32,
 #    active [B] bool, remaining [B] int32)
-# and is donated everywhere, so the pool updates in place.
+# and is donated everywhere, so the pool updates in place. row_lens is the
+# cache WRITE SLOT, row_pos the RoPE position — they differ for doc-cache
+# continuation rows, where the document occupies slots [0, dbucket) but
+# only positions [0, doc_len).
 
 
 @functools.partial(
@@ -113,11 +126,10 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
 )
 def _prefill_program(params, cfg, ids, mask, *, bucket, rows, quant):
     """[rows, bucket] right-padded prompts → (row-batch KVCache, first
-    greedy token per row). Row caches are slot-dense (position == slot),
-    the contract forward(row_offsets=...) requires. Queued same-bucket
-    requests prefill together (rows is padded to a power of two so a
-    handful of executables cover any admission batch; all-pad dummy rows
-    produce garbage that is never inserted)."""
+    greedy token per row). Row caches are slot-dense (position == slot).
+    Queued same-bucket requests prefill together (rows is padded to a
+    power of two so a handful of executables cover any admission batch;
+    all-pad dummy rows produce garbage that is never inserted)."""
     cache = init_cache(cfg, rows, bucket, quant=quant)
     hidden, cache, _ = forward(
         params, cfg, ids, attention_mask=mask, causal=True, cache=cache
@@ -128,16 +140,60 @@ def _prefill_program(params, cfg, ids, mask, *, bucket, rows, quant):
     return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+@functools.partial(
+    jax.jit, static_argnames=("cfg", "dbucket", "bucket", "rows")
+)
+def _prefill_continue_program(params, cfg, doc_k, doc_v, doc_scales,
+                              doc_mask, doc_lens, ids, mask, *,
+                              dbucket, bucket, rows):
+    """Cache-continuation prefill: documents' precomputed K/V occupy
+    slots [0, dbucket) (each row valid to its own doc_len), the prompt
+    prefills at slots [dbucket, dbucket+bucket) with RoPE positions
+    continuing at doc_len — the serving analogue of the reference's
+    doc-cache generate (rag/eval.py:237-302), batched and slot-ragged.
+    Returns (row-batch KVCache [.., dbucket+bucket, ..], first tokens)."""
+    quant = doc_scales is not None
+    L = doc_k.shape[0]
+    pk = jnp.zeros((L, rows, bucket) + doc_k.shape[3:], doc_k.dtype)
+    cache = KVCache(
+        k=jnp.concatenate([doc_k, pk], axis=2),
+        v=jnp.concatenate([doc_v, pk], axis=2),
+        mask=jnp.concatenate(
+            [doc_mask, jnp.zeros((rows, bucket), doc_mask.dtype)], axis=1
+        ),
+        length=jnp.asarray(dbucket, jnp.int32),  # prompt writes here
+        **(dict(
+            k_scale=jnp.concatenate(
+                [doc_scales[0],
+                 jnp.zeros(doc_scales[0].shape[:3] + (bucket,),
+                           doc_scales[0].dtype)], axis=3),
+            v_scale=jnp.concatenate(
+                [doc_scales[1],
+                 jnp.zeros(doc_scales[1].shape[:3] + (bucket,),
+                           doc_scales[1].dtype)], axis=3),
+        ) if quant else {}),
+    )
+    positions = doc_lens[:, None] + jnp.arange(bucket)[None, :]
+    hidden, cache, _ = forward(
+        params, cfg, ids, attention_mask=mask, causal=True,
+        positions=positions, cache=cache,
+    )
+    last = jnp.maximum(jnp.sum(mask, axis=1) - 1, 0)  # [rows]
+    h_last = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
+    logits = logits_from_hidden(params, cfg, h_last)[:, 0]
+    return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("eos_id",))
 def _insert_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
-                    length, max_new, *, eos_id):
-    """Fold prefilled row `row_idx` into pool slot `slot`: copy its K/V,
-    rebuild the slot's mask from `length` (bucket padding is dead space
-    beyond it), and arm the decode carry — pending token = the prefill's
-    first sample, write pointer = prompt length, budget = max_new - 1
-    (the first token is already spent). The carry is donated, so the
-    update is in place and chains between in-flight decode chunks."""
-    tok, cache, row_lens, active, remaining = carry
+                    write_len, pos0, max_new, *, eos_id):
+    """Fold prefilled row `row_idx` into pool slot `slot`: copy its K/V
+    and mask (zero-extended to the pool width), and arm the decode
+    carry — pending token = the prefill's first sample, write slot =
+    `write_len`, RoPE position = `pos0`, budget = max_new - 1 (the first
+    token is already spent). The carry is donated, so the update is in
+    place and chains between in-flight decode chunks."""
+    tok, cache, row_lens, row_pos, active, remaining = carry
 
     def put(pool, batch, axis_b=1):
         row = jax.lax.dynamic_slice_in_dim(batch, row_idx, 1, axis=axis_b)
@@ -146,9 +202,12 @@ def _insert_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
 
     k = put(cache.k, rows_cache.k)
     v = put(cache.v, rows_cache.v)
-    row_mask = (
-        jnp.arange(cache.max_len) < length
-    ).astype(cache.mask.dtype)[None, :]
+    row_mask = jnp.zeros((1, cache.max_len), cache.mask.dtype)
+    row_mask = jax.lax.dynamic_update_slice(
+        row_mask,
+        jax.lax.dynamic_slice_in_dim(rows_cache.mask, row_idx, 1, axis=0),
+        (0, 0),
+    )
     mask = jax.lax.dynamic_update_slice(cache.mask, row_mask, (slot, 0))
     scales = {}
     if cache.quantized:
@@ -161,10 +220,11 @@ def _insert_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
     first = jnp.take(firsts, row_idx)
     rem = max_new - 1
     tok = tok.at[slot].set(first)
-    row_lens = row_lens.at[slot].set(length)
+    row_lens = row_lens.at[slot].set(write_len)
+    row_pos = row_pos.at[slot].set(pos0)
     active = active.at[slot].set((first != eos_id) & (rem > 0))
     remaining = remaining.at[slot].set(rem)
-    return tok, cache, row_lens, active, remaining
+    return tok, cache, row_lens, row_pos, active, remaining
 
 
 @functools.partial(
@@ -181,20 +241,24 @@ def _decode_chunk_program(params, cfg, carry, *, steps, eos_id, pad_id):
     [steps, B]."""
 
     def body(c, _):
-        tok, cache, row_lens, active, remaining = c
+        tok, cache, row_lens, row_pos, active, remaining = c
         hidden, cache, _ = forward(
             params, cfg, tok[:, None], causal=True,
             attention_mask=active[:, None].astype(jnp.int32),
+            positions=row_pos[:, None],
             cache=cache, row_offsets=row_lens,
         )
         logits = logits_from_hidden(params, cfg, hidden)[:, 0]
         nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         emitted = active
         nxt = jnp.where(active, nxt, pad_id)
-        row_lens = row_lens + active.astype(jnp.int32)
-        remaining = remaining - active.astype(jnp.int32)
+        adv = active.astype(jnp.int32)
+        row_lens = row_lens + adv
+        row_pos = row_pos + adv
+        remaining = remaining - adv
         active = active & (nxt != eos_id) & (remaining > 0)
-        return (nxt, cache, row_lens, active, remaining), (nxt, emitted)
+        return ((nxt, cache, row_lens, row_pos, active, remaining),
+                (nxt, emitted))
 
     carry, (toks, emitted) = jax.lax.scan(body, carry, None, length=steps)
     return carry, toks, emitted
@@ -282,6 +346,7 @@ class ServingEngine:
             _put_vec(np.full(max_batch, pad_id, np.int32)),
             _put_cache(init_cache(cfg, max_batch, max_len, quant=kv_quant)),
             _put_vec(np.zeros(max_batch, np.int32)),
+            _put_vec(np.zeros(max_batch, np.int32)),
             _put_vec(np.zeros(max_batch, bool)),
             _put_vec(np.zeros(max_batch, np.int32)),
         )
@@ -294,10 +359,19 @@ class ServingEngine:
     # ---- scheduler ----------------------------------------------------
 
     def submit(self, req: Request) -> None:
-        if len(req.input_ids) + req.max_new_tokens > self.max_len:
+        need = len(req.input_ids) + req.max_new_tokens
+        if req.doc_cache is not None:
+            if (req.doc_cache[3] is not None) != self.kv_quant:
+                raise ValueError(
+                    "doc_cache quantization does not match the pool's "
+                    f"kv_quant={self.kv_quant}"
+                )
+            need += _bucket(req.doc_cache[2], self.buckets)
+        if need > self.max_len:
             raise ValueError(
-                f"prompt {len(req.input_ids)} + max_new {req.max_new_tokens} "
-                f"exceeds pool max_len {self.max_len}"
+                f"prompt {len(req.input_ids)} + max_new {req.max_new_tokens}"
+                + (f" + doc bucket" if req.doc_cache is not None else "")
+                + f" exceeds pool max_len {self.max_len}"
             )
         self.queue.append(req)
 
@@ -307,11 +381,13 @@ class ServingEngine:
             return
         take = [self.queue.pop(0) for _ in range(
             min(len(free), len(self.queue)))]
-        groups: Dict[int, List[Request]] = {}
+        groups: Dict[tuple, List[Request]] = {}
         for r in take:
             b = _bucket(len(r.input_ids), self.buckets)
-            groups.setdefault(b, []).append(r)
-        for bucket, rs in groups.items():
+            db = (_bucket(r.doc_cache[2], self.buckets)
+                  if r.doc_cache is not None else 0)
+            groups.setdefault((db, b), []).append(r)
+        for (dbucket, bucket), rs in groups.items():
             # same-bucket requests prefill as one batch (rows padded to
             # a power of two to bound the executable count)
             rows = 1 << max(0, len(rs) - 1).bit_length()
@@ -321,20 +397,59 @@ class ServingEngine:
                 n = len(r.input_ids)
                 ids[j, :n] = r.input_ids
                 mask[j, :n] = 1
-            rowc, firsts = _prefill_program(
-                self.params, self.cfg, self._put_rows(ids),
-                self._put_rows(mask), bucket=bucket, rows=rows,
-                quant=self.kv_quant,
-            )
+            if dbucket == 0:
+                rowc, firsts = _prefill_program(
+                    self.params, self.cfg, self._put_rows(ids),
+                    self._put_rows(mask), bucket=bucket, rows=rows,
+                    quant=self.kv_quant,
+                )
+            else:
+                rowc, firsts = self._prefill_continue(
+                    rs, ids, mask, dbucket, bucket, rows
+                )
             firsts.copy_to_host_async()
             for j, r in enumerate(rs):
                 slot = free.pop(0)
                 self.carry = _insert_program(
                     self.carry, rowc, firsts, jnp.int32(j), jnp.int32(slot),
-                    jnp.int32(len(r.input_ids)),
+                    jnp.int32(dbucket + len(r.input_ids)),
+                    jnp.int32((r.doc_cache[2] if r.doc_cache is not None
+                               else 0) + len(r.input_ids)),
                     jnp.int32(r.max_new_tokens), eos_id=self.eos_id,
                 )
                 self.slots[slot] = _Slot(request=r, first_src=(firsts, j))
+
+    def _prefill_continue(self, rs, ids, mask, dbucket, bucket, rows):
+        """Stack the group's host doc caches into [L, rows, dbucket, ...]
+        arrays and run the cache-continuation prefill."""
+        L = rs[0].doc_cache[0].shape[0]
+        lanes = rs[0].doc_cache[0].shape[-1]
+        doc_k = np.zeros((L, rows, dbucket, lanes), rs[0].doc_cache[0].dtype)
+        doc_v = np.zeros_like(doc_k)
+        doc_mask = np.zeros((rows, dbucket), np.int32)
+        doc_lens = np.zeros((rows,), np.int32)
+        scales = None
+        if self.kv_quant:
+            kv = rs[0].doc_cache[3].shape[1]
+            ks = np.zeros((L, rows, kv, dbucket), rs[0].doc_cache[3].dtype)
+            vs = np.zeros_like(ks)
+        for j, r in enumerate(rs):
+            k, v, w, ksj, vsj = r.doc_cache
+            doc_k[:, j, :w] = k
+            doc_v[:, j, :w] = v
+            doc_mask[j, :w] = 1
+            doc_lens[j] = w
+            if self.kv_quant:
+                ks[:, j, :, :w] = ksj
+                vs[:, j, :, :w] = vsj
+        if self.kv_quant:
+            scales = (jnp.asarray(ks), jnp.asarray(vs))
+        return _prefill_continue_program(
+            self.params, self.cfg, jnp.asarray(doc_k), jnp.asarray(doc_v),
+            scales, jnp.asarray(doc_mask), jnp.asarray(doc_lens),
+            self._put_rows(ids), self._put_rows(mask),
+            dbucket=dbucket, bucket=bucket, rows=rows,
+        )
 
     def _maybe_finish(self, slot: int, tok: int) -> None:
         s = self.slots[slot]

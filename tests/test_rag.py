@@ -279,3 +279,37 @@ def test_speculative_multichip_matches_single_device():
         r1 = e_one.answer_batch(list(queries), mode=mode)
         r2 = e_mesh.answer_batch(list(queries), mode=mode)
         assert [r.answer for r in r1] == [r.answer for r in r2], mode
+
+
+def test_serve_matches_lockstep_doc_mode(engine):
+    """Continuous-batching RAG serving (RAGEngine.serve): same doc-store
+    caches and positions accounting as answer_batch(mode=DOC), so greedy
+    answers must be byte-identical — scheduling is the only difference."""
+    eng = RAGEngine(engine.model, index=engine.index, max_new_tokens=4,
+                    encode_max_length=64)  # own store; shared fixture stays clean
+    eng.precompute_all_doc_caches(batch_size=4)
+    qs = ["what is fact number 2?", "tell me about place 5",
+          "what is fact number 7?"]
+    lockstep = [r.answer
+                for r in eng.answer_batch(qs, mode=CacheMode.DOC,
+                                          max_new_tokens=6)]
+    served = eng.serve(qs, max_new_tokens=6, slots=2, chunk_size=2,
+                       pool_max_len=512, prompt_buckets=(64, 128, 256))
+    assert [r.answer for r in served] == lockstep
+    assert all(r.passages and r.scores for r in served)
+
+
+def test_serve_encodes_missing_docs_once(engine):
+    """serve() on an engine built WITHOUT cache_docs precomputes only the
+    hit docs into the store, then reuses them."""
+    eng = RAGEngine(engine.model, index=engine.index, max_new_tokens=4,
+                    encode_max_length=64)
+    assert not eng._doc_store
+    qs = ["what is fact number 1?"]
+    eng.serve(qs, max_new_tokens=4, slots=1, pool_max_len=512,
+              prompt_buckets=(64, 128, 256))
+    n_after = len(eng._doc_store)
+    assert n_after >= 1
+    eng.serve(qs, max_new_tokens=4, slots=1, pool_max_len=512,
+              prompt_buckets=(64, 128, 256))
+    assert len(eng._doc_store) == n_after

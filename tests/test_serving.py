@@ -161,6 +161,83 @@ def test_completion_metadata(model):
         assert len(done.token_ids) == MAXNEW
 
 
+def _doc_entry(cfg, params, doc_ids, quant=False):
+    """Build a doc-store-format cache entry (k, v, w, ks, vs) by causal
+    prefill — causal so the full-prompt lockstep oracle is exact."""
+    from gritlm_tpu.models.transformer import forward, init_cache
+
+    arr = jnp.asarray(doc_ids, jnp.int32)[None, :]
+    cache = init_cache(cfg, 1, len(doc_ids), quant=quant)
+    _, cache, _ = forward(params, cfg, arr, causal=True, cache=cache)
+    return (
+        np.asarray(cache.k[:, 0]), np.asarray(cache.v[:, 0]), len(doc_ids),
+        np.asarray(cache.k_scale[:, 0]) if quant else None,
+        np.asarray(cache.v_scale[:, 0]) if quant else None,
+    )
+
+
+def test_doc_cache_continuation_matches_full_prompt(model):
+    """RAG-style continuation requests: the document's precomputed KV
+    prefix + a fresh prompt decode token-identically to lockstep
+    generation over the concatenated (doc + prompt) token stream — while
+    sharing the pool with a plain request (mixed traffic)."""
+    cfg, params = model
+    rng = np.random.default_rng(3)
+    docs = [rng.integers(3, cfg.vocab_size, size=n).tolist()
+            for n in (7, 13, 5)]
+    prompts = [rng.integers(3, cfg.vocab_size, size=n).tolist()
+               for n in (4, 6, 9)]
+    reqs = [
+        Request(input_ids=p, max_new_tokens=MAXNEW, request_id=f"c{i}",
+                doc_cache=_doc_entry(cfg, params, d))
+        for i, (d, p) in enumerate(zip(docs, prompts))
+    ]
+    plain = _requests(cfg, [8], seed=5)
+    plain[0].request_id = "plain"
+    eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=64, chunk_size=4,
+        prompt_buckets=(16,),
+    )
+    done = eng.run(reqs + plain)
+    by_id = {c.request_id: c for c in done}
+    assert len(by_id) == 4
+    for i, (d, p) in enumerate(zip(docs, prompts)):
+        want = _oracle(cfg, params, d + p, MAXNEW)
+        assert by_id[f"c{i}"].token_ids == want, (i, by_id[f"c{i}"], want)
+    assert by_id["plain"].token_ids == _oracle(
+        cfg, params, plain[0].input_ids, MAXNEW)
+
+
+def test_doc_cache_continuation_int8_pool(model):
+    """Quantized doc caches flow through the int8 pool end-to-end."""
+    cfg, params = model
+    rng = np.random.default_rng(4)
+    doc = rng.integers(3, cfg.vocab_size, size=9).tolist()
+    req = Request(
+        input_ids=rng.integers(3, cfg.vocab_size, size=5).tolist(),
+        max_new_tokens=MAXNEW, request_id="q",
+        doc_cache=_doc_entry(cfg, params, doc, quant=True),
+    )
+    eng = ServingEngine(
+        cfg, params, max_batch=1, max_len=64, kv_quant=True,
+        chunk_size=2, prompt_buckets=(16,),
+    )
+    (done,) = eng.run([req])
+    assert 1 <= len(done.token_ids) <= MAXNEW
+
+
+def test_doc_cache_quant_mismatch_rejected(model):
+    cfg, params = model
+    doc = list(range(3, 10))
+    req = Request(input_ids=[5, 6], doc_cache=_doc_entry(cfg, params, doc))
+    eng = ServingEngine(
+        cfg, params, max_batch=1, max_len=64, kv_quant=True,
+        prompt_buckets=(16,),
+    )
+    with pytest.raises(ValueError, match="quantization"):
+        eng.submit(req)
+
+
 def test_mesh_sharded_engine_matches_oracle(model):
     """Multi-chip serving: the same scheduler over a (data=4, fsdp=2)
     GSPMD mesh — slot pool sharded over the batch axes, params over the
