@@ -295,6 +295,70 @@ def init_cache(
     )
 
 
+class PagedKVCache(NamedTuple):
+    """Paged serving cache (ops/paged_attention.py): K/V live in
+    fixed-size pages drawn from a shared pool, so HBM scales with the
+    tokens a request actually reserves instead of B × max_len worst case.
+    k/v: [L, n_pages, page, Kv*Dh]; page_table: [B, max_pages] int32 maps
+    each row's logical chunk to its physical page; mask: [B,
+    max_pages*page] logical slot validity (same semantics as
+    KVCache.mask). Scales (int8 pool): [L, n_pages, Kv, page]. Only the
+    serving decode path (forward(row_offsets=...)) consumes this —
+    prefill runs on dense row caches which serving.py copies into pages
+    at admission. The reference has no paging (dense HF caches,
+    rag/eval.py:296-302)."""
+
+    k: jax.Array
+    v: jax.Array
+    mask: jax.Array
+    length: jax.Array
+    page_table: jax.Array
+    k_scale: Optional[jax.Array] = None
+    v_scale: Optional[jax.Array] = None
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def max_len(self) -> int:
+        return self.mask.shape[1]
+
+    @property
+    def quantized(self) -> bool:
+        return self.k_scale is not None
+
+
+def init_paged_cache(
+    cfg: ModelConfig, batch: int, max_len: int, n_pages: int,
+    page: int = 256, dtype=None, quant: bool = False,
+) -> PagedKVCache:
+    """A paged pool of `n_pages` pages (dense equivalent would need
+    batch * max_len / page pages; the saving is the point)."""
+    assert max_len % page == 0, (max_len, page)
+    L, Kv, Dh = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim_
+    dt = dtype or cfg.jnp_dtype
+    maxp = max_len // page
+    common = dict(
+        mask=jnp.zeros((batch, maxp * page), jnp.int32),
+        length=jnp.zeros((), jnp.int32),
+        page_table=jnp.zeros((batch, maxp), jnp.int32),
+    )
+    if quant:
+        return PagedKVCache(
+            k=jnp.zeros((L, n_pages, page, Kv * Dh), jnp.int8),
+            v=jnp.zeros((L, n_pages, page, Kv * Dh), jnp.int8),
+            k_scale=jnp.zeros((L, n_pages, Kv, page), jnp.bfloat16),
+            v_scale=jnp.zeros((L, n_pages, Kv, page), jnp.bfloat16),
+            **common,
+        )
+    return PagedKVCache(
+        k=jnp.zeros((L, n_pages, page, Kv * Dh), dt),
+        v=jnp.zeros((L, n_pages, page, Kv * Dh), dt),
+        **common,
+    )
+
+
 def quantize_kv(x: jax.Array) -> tuple:
     """x [B, S, Kv, Dh] → (int8 [B, S, Kv*Dh], scale bf16 [B, S, Kv])
     per-(slot, head) absmax quantization. The scale is rounded to bf16
@@ -353,10 +417,38 @@ def _attention_block(
         return _mm(out.reshape(B, S, H * Dh), p["wo"]), (k, v)
 
     if layer_cache is not None:
-        k_all, v_all, k_sc, v_sc, kv_mask, offset, lidx = layer_cache
+        (k_all, v_all, k_sc, v_sc, kv_mask, offset, lidx,
+         page_table) = layer_cache
         per_row = getattr(offset, "ndim", 0) == 1  # [B] slot offsets
         if per_row and S != 1:
             raise ValueError("per-row cache offsets require S == 1")
+        if page_table is not None:
+            # paged serving decode: the row's logical slot `offset` lives
+            # in page page_table[b, offset // page] at offset % page
+            from gritlm_tpu.ops.paged_attention import paged_decode
+
+            page = k_all.shape[2]
+            pids = jnp.take_along_axis(
+                page_table, (offset // page)[:, None], axis=1
+            )[:, 0]
+            offs = offset % page
+            if k_sc is not None:
+                k2, ks2 = quantize_kv(k)
+                v2, vs2 = quantize_kv(v)
+                k_sc = k_sc.at[lidx, pids, :, offs].set(ks2[:, 0, :])
+                v_sc = v_sc.at[lidx, pids, :, offs].set(vs2[:, 0, :])
+            else:
+                k2 = k.reshape(B, S, Kv * Dh).astype(k_all.dtype)
+                v2 = v.reshape(B, S, Kv * Dh).astype(v_all.dtype)
+            k_all = k_all.at[lidx, pids, offs, :].set(k2[:, 0, :])
+            v_all = v_all.at[lidx, pids, offs, :].set(v2[:, 0, :])
+            out = paged_decode(
+                q, k_all, v_all, page_table, kv_mask,
+                layer=lidx, num_kv_heads=Kv,
+                k_scale=k_sc, v_scale=v_sc,
+            )
+            return (_mm(out.reshape(B, S, H * Dh), p["wo"]),
+                    (k_all, v_all, k_sc, v_sc))
         if k_sc is not None:  # int8 cache: quantize this step's K/V
             k2, ks2 = quantize_kv(k)
             v2, vs2 = quantize_kv(v)
@@ -608,6 +700,13 @@ def forward(
         else:
             positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
 
+    paged = isinstance(cache, PagedKVCache)
+    if paged and row_offsets is None:
+        raise ValueError(
+            "PagedKVCache is decode-only: requires row_offsets (serving "
+            "prefills run on dense row caches, copied into pages at "
+            "admission — serving.py)"
+        )
     if cache is not None:
         step_mask = (
             attention_mask
@@ -659,13 +758,16 @@ def forward(
         # buffers) and attends directly against the full HBM buffer. Never
         # stack per-layer caches as scan ys: that materializes a whole new
         # [L,B,Smax,KD] cache per decode step, which dominated decode time.
+        page_table = cache.page_table if paged else None
+
         def layer_fn(carry, lp_and_idx):
             x, k_all, v_all, k_sc, v_sc = carry
             lp, lidx = lp_and_idx
             if q4_stacked:
                 lp = _merge_q4_leaves(lp, q4_stacked, lidx)
             x, (k_all, v_all, k_sc, v_sc), router_logits, dropped = _block(
-                x, lp, (k_all, v_all, k_sc, v_sc, kv_mask, offset, lidx)
+                x, lp,
+                (k_all, v_all, k_sc, v_sc, kv_mask, offset, lidx, page_table),
             )
             out_aux = (router_logits, dropped) if output_router_logits else ()
             return (x, k_all, v_all, k_sc, v_sc), out_aux
@@ -677,13 +779,19 @@ def forward(
             (x, cache.k, cache.v, cache.k_scale, cache.v_scale),
             (layers_xs, jnp.arange(cfg.num_hidden_layers)),
         )
-        new_cache = KVCache(
-            k=k_all, v=v_all, mask=kv_mask,
-            # per-row offsets: the scalar length is not meaningful — slot
-            # occupancy lives in the mask / the serving engine's row_lens
-            length=cache.length if row_offsets is not None else cache.length + S,
-            k_scale=k_sc, v_scale=v_sc,
-        )
+        if paged:
+            new_cache = cache._replace(
+                k=k_all, v=v_all, mask=kv_mask, k_scale=k_sc, v_scale=v_sc,
+            )
+        else:
+            new_cache = KVCache(
+                k=k_all, v=v_all, mask=kv_mask,
+                # per-row offsets: the scalar length is not meaningful — slot
+                # occupancy lives in the mask / the serving engine's row_lens
+                length=(cache.length if row_offsets is not None
+                        else cache.length + S),
+                k_scale=k_sc, v_scale=v_sc,
+            )
     else:
         def layer_fn(carry, lp_and_idx):
             x = carry
