@@ -334,7 +334,10 @@ def init_paged_cache(
     page: int = 256, dtype=None, quant: bool = False,
 ) -> PagedKVCache:
     """A paged pool of `n_pages` pages (dense equivalent would need
-    batch * max_len / page pages; the saving is the point)."""
+    batch * max_len / page pages; the saving is the point). Page 0 is
+    RESERVED as the scratch target for inactive rows' lockstep writes —
+    allocators must never hand it out (serving.py starts its free list
+    at 1)."""
     assert max_len % page == 0, (max_len, page)
     L, Kv, Dh = cfg.num_hidden_layers, cfg.num_key_value_heads, cfg.head_dim_
     dt = dtype or cfg.jnp_dtype
@@ -424,13 +427,19 @@ def _attention_block(
             raise ValueError("per-row cache offsets require S == 1")
         if page_table is not None:
             # paged serving decode: the row's logical slot `offset` lives
-            # in page page_table[b, offset // page] at offset % page
+            # in page page_table[b, offset // page] at offset % page.
+            # INACTIVE rows still execute the write (lockstep program) but
+            # their page-table entry may alias another request's page —
+            # redirect them to the reserved scratch page 0 (dense pools
+            # are immune: a row only ever writes its own row).
             from gritlm_tpu.ops.paged_attention import paged_decode
 
             page = k_all.shape[2]
             pids = jnp.take_along_axis(
                 page_table, (offset // page)[:, None], axis=1
             )[:, 0]
+            if padding_mask is not None:
+                pids = jnp.where(padding_mask[:, 0] > 0, pids, 0)
             offs = offset % page
             if k_sc is not None:
                 k2, ks2 = quantize_kv(k)

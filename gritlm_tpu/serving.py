@@ -42,6 +42,17 @@ Design notes (TPU):
     token stays on device and is folded into the carry by the insert
     program, so admission never blocks the pipeline either — first
     tokens are read lazily at the next result-processing point.
+  - `paged=True` swaps the dense B x max_len pool for a shared PAGE pool
+    (models/transformer.PagedKVCache + ops/paged_attention.py): HBM
+    scales with the tokens requests actually reserve, not the worst
+    case, and admission is bounded by free pages instead of max-length
+    slots. Prefill still runs dense per bucket; the insert program
+    scatters the rows into their allocated pages. `register_prefix`
+    pins a precomputed cache (e.g. a RAG document) into pool pages ONCE;
+    any number of concurrent requests then reference those pages
+    read-only through their page tables (zero-copy sharing — the
+    per-request tail starts page-aligned after the prefix, so shared
+    pages are never written and no copy-on-write machinery is needed).
 """
 
 from __future__ import annotations
@@ -59,6 +70,7 @@ from gritlm_tpu.models.transformer import (
     KVCache,
     forward,
     init_cache,
+    init_paged_cache,
     logits_from_hidden,
 )
 
@@ -74,12 +86,18 @@ class Request:
     valid token count, scales `[L, Kv, w]` or None). The prompt then
     prefills BEHIND the cached document (positions continue at w) and the
     request decodes like any other — so one pool serves cached-doc RAG
-    queries and plain generation side by side."""
+    queries and plain generation side by side.
+
+    `prefix` (paged pools only) continues a cache the engine has pinned
+    into shared pages via `register_prefix(key, entry)` — the zero-copy
+    doc-cache serving flow: N concurrent requests on the same document
+    read the SAME physical pages."""
 
     input_ids: List[int]
     max_new_tokens: int = 16
     request_id: Optional[str] = None
     doc_cache: Optional[tuple] = None
+    prefix: Optional[object] = None
 
 
 @dataclass
@@ -228,6 +246,111 @@ def _insert_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
 
 
 @functools.partial(
+    jax.jit, donate_argnums=(0,),
+    static_argnames=("copy_from_page", "eos_id"),
+)
+def _insert_paged_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
+                          table_row, write_len, pos0, max_new, *,
+                          copy_from_page, eos_id):
+    """Paged insert: scatter prefilled row `row_idx`'s pages into the pool
+    pages named by `table_row` (static page indices `copy_from_page`
+    onward — a prefix request's shared document pages are NOT copied),
+    install the row's page table and logical mask, and arm the carry."""
+    tok, cache, row_lens, row_pos, active, remaining = carry
+    page = cache.page_size
+    W = rows_cache.max_len
+    L = cache.k.shape[0]
+    KD = cache.k.shape[3]
+
+    k, v = cache.k, cache.v
+    k_sc, v_sc = cache.k_scale, cache.v_scale
+    for j in range(copy_from_page, W // page):
+        pid = jnp.take(table_row, j)
+        ck = jax.lax.dynamic_slice(
+            rows_cache.k, (0, row_idx, j * page, 0), (L, 1, page, KD))
+        cv = jax.lax.dynamic_slice(
+            rows_cache.v, (0, row_idx, j * page, 0), (L, 1, page, KD))
+        k = jax.lax.dynamic_update_slice(k, ck, (0, pid, 0, 0))
+        v = jax.lax.dynamic_update_slice(v, cv, (0, pid, 0, 0))
+        if cache.quantized:
+            kv_h = cache.k_scale.shape[2]
+            cks = jax.lax.dynamic_slice(
+                rows_cache.k_scale, (0, row_idx, 0, j * page),
+                (L, 1, kv_h, page))
+            cvs = jax.lax.dynamic_slice(
+                rows_cache.v_scale, (0, row_idx, 0, j * page),
+                (L, 1, kv_h, page))
+            k_sc = jax.lax.dynamic_update_slice(k_sc, cks, (0, pid, 0, 0))
+            v_sc = jax.lax.dynamic_update_slice(v_sc, cvs, (0, pid, 0, 0))
+
+    row_mask = jnp.zeros((1, cache.max_len), cache.mask.dtype)
+    row_mask = jax.lax.dynamic_update_slice(
+        row_mask,
+        jax.lax.dynamic_slice_in_dim(rows_cache.mask, row_idx, 1, axis=0),
+        (0, 0),
+    )
+    mask = jax.lax.dynamic_update_slice(cache.mask, row_mask, (slot, 0))
+    table = jax.lax.dynamic_update_slice(
+        cache.page_table, table_row[None, :], (slot, 0))
+    scales = (dict(k_scale=k_sc, v_scale=v_sc) if cache.quantized else {})
+    cache = cache._replace(k=k, v=v, mask=mask, page_table=table, **scales)
+
+    first = jnp.take(firsts, row_idx)
+    rem = max_new - 1
+    tok = tok.at[slot].set(first)
+    row_lens = row_lens.at[slot].set(write_len)
+    row_pos = row_pos.at[slot].set(pos0)
+    active = active.at[slot].set((first != eos_id) & (rem > 0))
+    remaining = remaining.at[slot].set(rem)
+    return tok, cache, row_lens, row_pos, active, remaining
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _write_prefix_program(carry, chunks_k, chunks_v, sk, sv, pids):
+    """Pin a precomputed cache into pool pages: chunks [L, n, page, KD]
+    (host-staged, page-aligned) written to physical pages `pids` [n].
+    Scales [L, n, Kv, page] for int8 pools. Runs once per prefix."""
+    tok, cache, row_lens, row_pos, active, remaining = carry
+    k, v = cache.k, cache.v
+    k_sc, v_sc = cache.k_scale, cache.v_scale
+    n = chunks_k.shape[1]
+    for j in range(n):
+        pid = jnp.take(pids, j)
+        k = jax.lax.dynamic_update_slice(
+            k, chunks_k[:, j:j + 1], (0, pid, 0, 0))
+        v = jax.lax.dynamic_update_slice(
+            v, chunks_v[:, j:j + 1], (0, pid, 0, 0))
+        if cache.quantized:
+            k_sc = jax.lax.dynamic_update_slice(
+                k_sc, sk[:, j:j + 1], (0, pid, 0, 0))
+            v_sc = jax.lax.dynamic_update_slice(
+                v_sc, sv[:, j:j + 1], (0, pid, 0, 0))
+    scales = (dict(k_scale=k_sc, v_scale=v_sc) if cache.quantized else {})
+    cache = cache._replace(k=k, v=v, **scales)
+    return (tok, cache, row_lens, row_pos, active, remaining)
+
+
+@functools.partial(jax.jit, static_argnames=("quant",))
+def _gather_prefix_program(k_pages, v_pages, k_sc, v_sc, pt_rows, *, quant):
+    """Gather shared prefix pages into the dense [L, rows, dbucket, ...]
+    doc arrays the continuation prefill consumes (device-side — the pages
+    never leave HBM except through this gather)."""
+    L, _, page, KD = k_pages.shape
+    rows, dp = pt_rows.shape
+    flat = pt_rows.reshape(-1)
+    dk = jnp.take(k_pages, flat, axis=1).reshape(L, rows, dp * page, KD)
+    dv = jnp.take(v_pages, flat, axis=1).reshape(L, rows, dp * page, KD)
+    if not quant:
+        return dk, dv, None
+    kv_h = k_sc.shape[2]
+    ks = jnp.take(k_sc, flat, axis=1).reshape(L, rows, dp, kv_h, page)
+    vs = jnp.take(v_sc, flat, axis=1).reshape(L, rows, dp, kv_h, page)
+    ks = ks.transpose(0, 1, 3, 2, 4).reshape(L, rows, kv_h, dp * page)
+    vs = vs.transpose(0, 1, 3, 2, 4).reshape(L, rows, kv_h, dp * page)
+    return dk, dv, (ks, vs)
+
+
+@functools.partial(
     jax.jit,
     donate_argnums=(2,),
     static_argnames=("cfg", "steps", "eos_id", "pad_id"),
@@ -289,6 +412,9 @@ class ServingEngine:
         prompt_buckets: Sequence[int] = (64, 128, 256, 512, 1024, 2048),
         overlap: bool = True,
         mesh=None,
+        paged: bool = False,
+        page_size: int = 256,
+        pool_pages: Optional[int] = None,
     ):
         self.cfg = cfg
         self.B = max_batch
@@ -298,6 +424,29 @@ class ServingEngine:
         self.chunk_size = chunk_size
         self.buckets = [b for b in prompt_buckets if b <= max_len]
         self.overlap = overlap
+        self.paged = paged
+        self.page = page_size
+        if paged:
+            if mesh is not None:
+                raise NotImplementedError("paged pools are single-chip for now")
+            if max_len % page_size:
+                raise ValueError(f"max_len {max_len} % page {page_size} != 0")
+            # buckets must be page-aligned so a request's private tail
+            # starts on a page boundary (zero-copy prefix sharing relies
+            # on shared pages never being written)
+            self.buckets = [b for b in self.buckets if b % page_size == 0]
+            if not self.buckets:
+                raise ValueError(
+                    f"no prompt bucket is a multiple of page {page_size}"
+                )
+            self.pool_pages = pool_pages or (
+                (max_batch * max_len) // page_size + 1
+            )
+            # page 0 is the scratch page for inactive rows' lockstep
+            # writes (transformer paged append) — never allocated
+            self._free_pages = list(range(1, self.pool_pages))
+            self._slot_pages: Dict[int, List[int]] = {}
+            self.prefixes: Dict[object, tuple] = {}  # key → (pids, w)
 
         # Multi-chip serving: params sharded per the GSPMD rules (TP/FSDP),
         # the slot pool and all [B] carry vectors sharded over the batch
@@ -342,9 +491,15 @@ class ServingEngine:
         self.params = params
 
         self.kv_quant = kv_quant
+        pool = (
+            init_paged_cache(cfg, max_batch, max_len, self.pool_pages,
+                             page=page_size, quant=kv_quant)
+            if paged else
+            _put_cache(init_cache(cfg, max_batch, max_len, quant=kv_quant))
+        )
         self.carry = (
             _put_vec(np.full(max_batch, pad_id, np.int32)),
-            _put_cache(init_cache(cfg, max_batch, max_len, quant=kv_quant)),
+            pool,
             _put_vec(np.zeros(max_batch, np.int32)),
             _put_vec(np.zeros(max_batch, np.int32)),
             _put_vec(np.zeros(max_batch, bool)),
@@ -358,7 +513,64 @@ class ServingEngine:
 
     # ---- scheduler ----------------------------------------------------
 
+    def register_prefix(self, key, entry: tuple) -> None:
+        """Pin a precomputed cache (doc-store entry format: k/v
+        [L, w, Kv*Dh], w, scales) into shared pool pages. Requests with
+        `prefix=key` reference these pages read-only — the cache is
+        uploaded and stored ONCE no matter how many requests continue it.
+        Pages stay pinned for the engine's lifetime (paged pools only)."""
+        if not self.paged:
+            raise ValueError("register_prefix requires paged=True")
+        k, v, w, ks, vs = entry
+        if (ks is not None) != self.kv_quant:
+            raise ValueError(
+                f"prefix quantization does not match kv_quant={self.kv_quant}"
+            )
+        if key in self.prefixes:
+            return
+        page = self.page
+        npg = -(-w // page)
+        if npg > len(self._free_pages):
+            raise ValueError(
+                f"prefix needs {npg} pages, only {len(self._free_pages)} free"
+            )
+        pids = [self._free_pages.pop() for _ in range(npg)]
+        L, _, KD = k.shape
+        ck = np.zeros((L, npg * page, KD), k.dtype)
+        cv = np.zeros_like(ck)
+        ck[:, :w], cv[:, :w] = k, v
+        ck = ck.reshape(L, npg, page, KD)
+        cv = cv.reshape(L, npg, page, KD)
+        sk = sv = None
+        if self.kv_quant:
+            kv_h = ks.shape[1]
+            sk = np.zeros((L, kv_h, npg * page), ks.dtype)
+            sv = np.zeros_like(sk)
+            sk[..., :w], sv[..., :w] = ks, vs
+            sk = sk.reshape(L, kv_h, npg, page).transpose(0, 2, 1, 3)
+            sv = sv.reshape(L, kv_h, npg, page).transpose(0, 2, 1, 3)
+        self.carry = _write_prefix_program(
+            self.carry, jnp.asarray(ck), jnp.asarray(cv),
+            jnp.asarray(sk) if sk is not None else None,
+            jnp.asarray(sv) if sv is not None else None,
+            jnp.asarray(np.asarray(pids, np.int32)),
+        )
+        self.prefixes[key] = (pids, w)
+
+    def _pages_needed(self, req: Request) -> int:
+        span = _bucket(len(req.input_ids), self.buckets) + req.max_new_tokens
+        if req.doc_cache is not None:
+            span += _bucket(req.doc_cache[2], self.buckets)
+        return -(-span // self.page)
+
     def submit(self, req: Request) -> None:
+        if req.prefix is not None:
+            if not self.paged or req.prefix not in self.prefixes:
+                raise ValueError(
+                    f"unknown prefix {req.prefix!r} (register_prefix first)"
+                )
+            if req.doc_cache is not None:
+                raise ValueError("pass doc_cache OR prefix, not both")
         need = len(req.input_ids) + req.max_new_tokens
         if req.doc_cache is not None:
             if (req.doc_cache[3] is not None) != self.kv_quant:
@@ -367,29 +579,53 @@ class ServingEngine:
                     f"kv_quant={self.kv_quant}"
                 )
             need += _bucket(req.doc_cache[2], self.buckets)
+        if req.prefix is not None:
+            need += len(self.prefixes[req.prefix][0]) * self.page
         if need > self.max_len:
             raise ValueError(
                 f"prompt {len(req.input_ids)} + max_new {req.max_new_tokens}"
-                + (f" + doc bucket" if req.doc_cache is not None else "")
+                + (" + doc bucket" if req.doc_cache is not None
+                   or req.prefix is not None else "")
                 + f" exceeds pool max_len {self.max_len}"
             )
         self.queue.append(req)
 
+    def _doc_len(self, r: Request) -> int:
+        if r.prefix is not None:
+            return self.prefixes[r.prefix][1]
+        if r.doc_cache is not None:
+            return r.doc_cache[2]
+        return 0
+
     def _admit(self) -> None:
         free = [i for i in range(self.B) if i not in self.slots]
-        if not self.queue or not free:
+        taken: List[tuple] = []  # (request, private page ids | None)
+        while self.queue and len(taken) < len(free):
+            r = self.queue[0]
+            pids = None
+            if self.paged:
+                n = self._pages_needed(r)
+                if n > len(self._free_pages):
+                    break  # FIFO: the head waits for pages to free
+                pids = [self._free_pages.pop() for _ in range(n)]
+            taken.append((self.queue.pop(0), pids))
+        if not taken:
             return
-        take = [self.queue.pop(0) for _ in range(
-            min(len(free), len(self.queue)))]
-        groups: Dict[tuple, List[Request]] = {}
-        for r in take:
+        groups: Dict[tuple, List[tuple]] = {}
+        for r, pids in taken:
             b = _bucket(len(r.input_ids), self.buckets)
-            db = (_bucket(r.doc_cache[2], self.buckets)
-                  if r.doc_cache is not None else 0)
-            groups.setdefault((db, b), []).append(r)
-        for (dbucket, bucket), rs in groups.items():
+            if r.prefix is not None:
+                db = len(self.prefixes[r.prefix][0]) * self.page
+                kind = "prefix"
+            elif r.doc_cache is not None:
+                db, kind = _bucket(r.doc_cache[2], self.buckets), "host"
+            else:
+                db, kind = 0, "fresh"
+            groups.setdefault((db, b, kind), []).append((r, pids))
+        for (dbucket, bucket, kind), rps in groups.items():
             # same-bucket requests prefill as one batch (rows padded to
             # a power of two to bound the executable count)
+            rs = [r for r, _ in rps]
             rows = 1 << max(0, len(rs) - 1).bit_length()
             ids = np.full((rows, bucket), self.pad_id, np.int32)
             mask = np.zeros((rows, bucket), np.int32)
@@ -397,27 +633,75 @@ class ServingEngine:
                 n = len(r.input_ids)
                 ids[j, :n] = r.input_ids
                 mask[j, :n] = 1
-            if dbucket == 0:
+            if kind == "fresh":
                 rowc, firsts = _prefill_program(
                     self.params, self.cfg, self._put_rows(ids),
                     self._put_rows(mask), bucket=bucket, rows=rows,
                     quant=self.kv_quant,
                 )
-            else:
+            elif kind == "host":
                 rowc, firsts = self._prefill_continue(
                     rs, ids, mask, dbucket, bucket, rows
                 )
-            firsts.copy_to_host_async()
-            for j, r in enumerate(rs):
-                slot = free.pop(0)
-                self.carry = _insert_program(
-                    self.carry, rowc, firsts, jnp.int32(j), jnp.int32(slot),
-                    jnp.int32(dbucket + len(r.input_ids)),
-                    jnp.int32((r.doc_cache[2] if r.doc_cache is not None
-                               else 0) + len(r.input_ids)),
-                    jnp.int32(r.max_new_tokens), eos_id=self.eos_id,
+            else:
+                rowc, firsts = self._prefill_continue_prefix(
+                    rs, ids, mask, dbucket, bucket, rows
                 )
+            firsts.copy_to_host_async()
+            for j, (r, pids) in enumerate(rps):
+                slot = free.pop(0)
+                write_len = dbucket + len(r.input_ids)
+                pos0 = self._doc_len(r) + len(r.input_ids)
+                if self.paged:
+                    maxp = self.max_len // self.page
+                    table = np.zeros(maxp, np.int32)
+                    off = 0
+                    if kind == "prefix":
+                        ppids = self.prefixes[r.prefix][0]
+                        table[: len(ppids)] = ppids
+                        off = len(ppids)
+                    table[off: off + len(pids)] = pids
+                    self._slot_pages[slot] = pids
+                    self.carry = _insert_paged_program(
+                        self.carry, rowc, firsts, jnp.int32(j),
+                        jnp.int32(slot), jnp.asarray(table),
+                        jnp.int32(write_len), jnp.int32(pos0),
+                        jnp.int32(r.max_new_tokens),
+                        copy_from_page=(dbucket // self.page
+                                        if kind == "prefix" else 0),
+                        eos_id=self.eos_id,
+                    )
+                else:
+                    self.carry = _insert_program(
+                        self.carry, rowc, firsts, jnp.int32(j),
+                        jnp.int32(slot), jnp.int32(write_len),
+                        jnp.int32(pos0), jnp.int32(r.max_new_tokens),
+                        eos_id=self.eos_id,
+                    )
                 self.slots[slot] = _Slot(request=r, first_src=(firsts, j))
+
+    def _prefill_continue_prefix(self, rs, ids, mask, dbucket, bucket, rows):
+        """Gather the group's shared prefix pages (device-side, zero host
+        traffic) into the dense doc arrays the continuation prefill eats."""
+        npg = dbucket // self.page
+        pt = np.zeros((rows, npg), np.int32)
+        dl = np.zeros((rows,), np.int32)
+        for j, r in enumerate(rs):
+            pids, w = self.prefixes[r.prefix]
+            pt[j] = pids
+            dl[j] = w
+        cache = self.carry[1]
+        dk, dv, sc = _gather_prefix_program(
+            cache.k, cache.v, cache.k_scale, cache.v_scale,
+            jnp.asarray(pt), quant=self.kv_quant,
+        )
+        doc_mask = (np.arange(dbucket)[None, :] < dl[:, None]).astype(np.int32)
+        return _prefill_continue_program(
+            self.params, self.cfg, dk, dv, sc,
+            jnp.asarray(doc_mask), jnp.asarray(dl),
+            self._put_rows(ids), self._put_rows(mask),
+            dbucket=dbucket, bucket=bucket, rows=rows,
+        )
 
     def _prefill_continue(self, rs, ids, mask, dbucket, bucket, rows):
         """Stack the group's host doc caches into [L, rows, dbucket, ...]
@@ -467,6 +751,12 @@ class ServingEngine:
             del self.slots[slot]
             # slot's cache rows stay as dead data; mask is rebuilt on the
             # next insert, so no cleanup pass is needed
+            if self.paged:
+                # private pages return to the pool (prefix pages stay
+                # pinned). An in-flight chunk may still READ them, but any
+                # re-WRITE (a later insert) chains after it on the carry,
+                # so stale reads only feed inactive rows' discarded output.
+                self._free_pages.extend(self._slot_pages.pop(slot, []))
 
     def _resolve_firsts(self) -> None:
         """Fetch any pending prefill first-tokens (lazily, so admission

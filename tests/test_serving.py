@@ -255,6 +255,71 @@ def test_mesh_sharded_engine_matches_oracle(model):
     _check_parity(cfg, params, done, reqs)
 
 
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_paged_pool_matches_dense_engine(model, kv_quant):
+    """paged=True must be invisible to outputs: same requests through a
+    paged pool (with fewer pages than the dense equivalent) produce the
+    dense engine's exact completions."""
+    cfg, params = model
+    reqs = _requests(cfg, [3, 9, 5, 12, 7, 4])
+    kw = dict(max_batch=3, max_len=32, kv_quant=kv_quant, chunk_size=4,
+              prompt_buckets=(16,))
+    dense = ServingEngine(cfg, params, **kw).run(reqs)
+    # dense equivalent = 3*32/8 = 12 pages (+1 scratch); 1 scratch + 9 is
+    # enough for 3 in-flight requests (16-prompt bucket + 8 new = 3 pages)
+    paged = ServingEngine(
+        cfg, params, paged=True, page_size=8, pool_pages=10, **kw
+    ).run(reqs)
+    d = {c.request_id: c.token_ids for c in dense}
+    p = {c.request_id: c.token_ids for c in paged}
+    assert d == p
+
+
+def test_paged_prefix_sharing(model):
+    """Several concurrent requests continuing the SAME registered prefix:
+    token-exact vs the full-prompt lockstep oracle, with the document
+    resident in the pool exactly once (page accounting proves sharing)."""
+    cfg, params = model
+    rng = np.random.default_rng(6)
+    doc = rng.integers(3, cfg.vocab_size, size=13).tolist()
+    entry = _doc_entry(cfg, params, doc)
+    prompts = [rng.integers(3, cfg.vocab_size, size=n).tolist()
+               for n in (4, 7, 5)]
+    eng = ServingEngine(
+        cfg, params, max_batch=3, max_len=48, chunk_size=2,
+        prompt_buckets=(16,), paged=True, page_size=8, pool_pages=13,
+    )
+    eng.register_prefix("doc0", entry)
+    doc_pages = -(-13 // 8)
+    free_after_pin = len(eng._free_pages)
+    assert free_after_pin == 12 - doc_pages  # 13 minus scratch minus doc
+    reqs = [Request(input_ids=p, max_new_tokens=MAXNEW,
+                    request_id=f"p{i}", prefix="doc0")
+            for i, p in enumerate(prompts)]
+    done = eng.run(reqs)
+    by_id = {c.request_id: c for c in done}
+    for i, p in enumerate(prompts):
+        want = _oracle(cfg, params, doc + p, MAXNEW)
+        assert by_id[f"p{i}"].token_ids == want, (i,)
+    # all private pages returned; prefix pages still pinned
+    assert len(eng._free_pages) == free_after_pin
+
+
+def test_paged_admission_waits_for_pages(model):
+    """With pages for only one request in flight, the queue drains
+    serially but completely (admission blocks on the page pool, not
+    just on slots)."""
+    cfg, params = model
+    reqs = _requests(cfg, [4, 6, 5])
+    eng = ServingEngine(
+        cfg, params, max_batch=3, max_len=32, chunk_size=2,
+        prompt_buckets=(16,), paged=True, page_size=8, pool_pages=4,
+        overlap=False,
+    )
+    done = eng.run(reqs)
+    _check_parity(cfg, params, done, reqs)
+
+
 def test_rejects_oversized_request(model):
     cfg, params = model
     eng = ServingEngine(
