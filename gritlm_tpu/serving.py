@@ -91,13 +91,25 @@ class Request:
     `prefix` (paged pools only) continues a cache the engine has pinned
     into shared pages via `register_prefix(key, entry)` — the zero-copy
     doc-cache serving flow: N concurrent requests on the same document
-    read the SAME physical pages."""
+    read the SAME physical pages.
+
+    Sampling (`temperature > 0`, engine built with `sampling=True`): each
+    request draws from its OWN key chain `fold_in(PRNGKey(seed), n)` at
+    its n-th generated token, so its output is deterministic in `seed`
+    and INDEPENDENT of scheduling — slot assignment, chunk size, overlap,
+    and pool co-tenants cannot change a request's tokens. `top_k`/`top_p`
+    filter per row (generate.py nucleus semantics, value-threshold ties).
+    temperature == 0.0 rows stay exactly greedy."""
 
     input_ids: List[int]
     max_new_tokens: int = 16
     request_id: Optional[str] = None
     doc_cache: Optional[tuple] = None
     prefix: Optional[object] = None
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    seed: int = 0
 
 
 @dataclass
@@ -124,6 +136,45 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
     raise ValueError(f"prompt length {n} exceeds largest bucket {buckets[-1]}")
 
 
+def _sample_rows(logits: jax.Array, samp: tuple) -> jax.Array:
+    """Per-ROW sampling over [R, V] logits: each row has its own
+    (temperature, top_k, top_p, base key, generation index). One
+    descending sort serves both filters — top-k keeps values >= the
+    k-th, top-p keeps values >= the nucleus-cutoff rank's (the
+    generate.py nucleus rule, ties resolved by value so equal logits
+    are kept together). temperature == 0 rows return pure argmax."""
+    temps, tks, tps, keys, n_gen = samp
+    V = logits.shape[-1]
+    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    lg = logits.astype(jnp.float32) / jnp.maximum(temps, 1e-6)[:, None]
+    svals = jnp.sort(lg, axis=-1)[:, ::-1]  # [R, V] descending
+    kk = jnp.clip(jnp.where(tks > 0, tks, V), 1, V)
+    k_th = jnp.take_along_axis(svals, (kk - 1)[:, None], axis=-1)
+    cum = jnp.cumsum(jax.nn.softmax(svals, axis=-1), axis=-1)
+    cut = jnp.minimum(
+        jnp.sum((cum < tps[:, None]).astype(jnp.int32), axis=-1), V - 1
+    )
+    p_th = jnp.take_along_axis(svals, cut[:, None], axis=-1)
+    filt = jnp.where(lg >= jnp.maximum(k_th, p_th), lg, -jnp.inf)
+
+    def one(key, n, row):
+        return jax.random.categorical(jax.random.fold_in(key, n), row)
+
+    sampled = jax.vmap(one)(keys, n_gen, filt).astype(jnp.int32)
+    return jnp.where(temps > 0, sampled, greedy)
+
+
+def _samp_init(max_batch: int):
+    """Idle sampling state: greedy everywhere."""
+    return (
+        jnp.zeros(max_batch, jnp.float32),  # temperature
+        jnp.zeros(max_batch, jnp.int32),  # top_k
+        jnp.ones(max_batch, jnp.float32),  # top_p
+        jnp.zeros((max_batch, 2), jnp.uint32),  # base PRNG key
+        jnp.zeros(max_batch, jnp.int32),  # tokens generated (fold index)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Jitted programs. Module-level (NOT methods): the jit cache is keyed on the
 # function object, so per-instance bound methods would recompile every
@@ -132,22 +183,27 @@ def _bucket(n: int, buckets: Sequence[int]) -> int:
 #
 # The carry threaded through insert/decode is
 #   (tok [B] int32, cache KVCache, row_lens [B] int32, row_pos [B] int32,
-#    active [B] bool, remaining [B] int32)
-# and is donated everywhere, so the pool updates in place. row_lens is the
-# cache WRITE SLOT, row_pos the RoPE position — they differ for doc-cache
-# continuation rows, where the document occupies slots [0, dbucket) but
-# only positions [0, doc_len).
+#    active [B] bool, remaining [B] int32, samp)
+# where samp = (temps [B] f32, top_ks [B] i32, top_ps [B] f32,
+# keys [B, 2] u32, n_gen [B] i32) — per-row sampling state, dead weight
+# (DCE'd) in greedy pools. The carry is donated everywhere, so the pool
+# updates in place. row_lens is the cache WRITE SLOT, row_pos the RoPE
+# position — they differ for doc-cache continuation rows, where the
+# document occupies slots [0, dbucket) but only positions [0, doc_len).
 
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "bucket", "rows", "quant")
 )
-def _prefill_program(params, cfg, ids, mask, *, bucket, rows, quant):
+def _prefill_program(params, cfg, ids, mask, samp_rows=None, *,
+                     bucket, rows, quant):
     """[rows, bucket] right-padded prompts → (row-batch KVCache, first
-    greedy token per row). Row caches are slot-dense (position == slot).
-    Queued same-bucket requests prefill together (rows is padded to a
-    power of two so a handful of executables cover any admission batch;
-    all-pad dummy rows produce garbage that is never inserted)."""
+    token per row — greedy, or per-row sampled at fold index 0 when
+    `samp_rows` carries sampling state). Row caches are slot-dense
+    (position == slot). Queued same-bucket requests prefill together
+    (rows is padded to a power of two so a handful of executables cover
+    any admission batch; all-pad dummy rows produce garbage that is
+    never inserted)."""
     cache = init_cache(cfg, rows, bucket, quant=quant)
     hidden, cache, _ = forward(
         params, cfg, ids, attention_mask=mask, causal=True, cache=cache
@@ -155,6 +211,8 @@ def _prefill_program(params, cfg, ids, mask, *, bucket, rows, quant):
     last = jnp.maximum(jnp.sum(mask, axis=1) - 1, 0)  # [rows]
     h_last = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
     logits = logits_from_hidden(params, cfg, h_last)[:, 0]
+    if samp_rows is not None:
+        return cache, _sample_rows(logits, samp_rows)
     return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
@@ -162,8 +220,8 @@ def _prefill_program(params, cfg, ids, mask, *, bucket, rows, quant):
     jax.jit, static_argnames=("cfg", "dbucket", "bucket", "rows")
 )
 def _prefill_continue_program(params, cfg, doc_k, doc_v, doc_scales,
-                              doc_mask, doc_lens, ids, mask, *,
-                              dbucket, bucket, rows):
+                              doc_mask, doc_lens, ids, mask,
+                              samp_rows=None, *, dbucket, bucket, rows):
     """Cache-continuation prefill: documents' precomputed K/V occupy
     slots [0, dbucket) (each row valid to its own doc_len), the prompt
     prefills at slots [dbucket, dbucket+bucket) with RoPE positions
@@ -199,19 +257,35 @@ def _prefill_continue_program(params, cfg, doc_k, doc_v, doc_scales,
     last = jnp.maximum(jnp.sum(mask, axis=1) - 1, 0)  # [rows]
     h_last = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
     logits = logits_from_hidden(params, cfg, h_last)[:, 0]
+    if samp_rows is not None:
+        return cache, _sample_rows(logits, samp_rows)
     return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+def _arm_samp(samp, slot, req_samp):
+    """Install one request's sampling params at pool row `slot`. The
+    fold index starts at 1: the prefill already spent index 0."""
+    temps, tks, tps, keys, n_gen = samp
+    temp, tk, tp, key = req_samp
+    return (
+        temps.at[slot].set(temp),
+        tks.at[slot].set(tk),
+        tps.at[slot].set(tp),
+        jax.lax.dynamic_update_slice(keys, key[None, :], (slot, 0)),
+        n_gen.at[slot].set(1),
+    )
 
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("eos_id",))
 def _insert_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
-                    write_len, pos0, max_new, *, eos_id):
+                    write_len, pos0, max_new, req_samp=None, *, eos_id):
     """Fold prefilled row `row_idx` into pool slot `slot`: copy its K/V
     and mask (zero-extended to the pool width), and arm the decode
     carry — pending token = the prefill's first sample, write slot =
     `write_len`, RoPE position = `pos0`, budget = max_new - 1 (the first
     token is already spent). The carry is donated, so the update is in
     place and chains between in-flight decode chunks."""
-    tok, cache, row_lens, row_pos, active, remaining = carry
+    tok, cache, row_lens, row_pos, active, remaining, samp = carry
 
     def put(pool, batch, axis_b=1):
         row = jax.lax.dynamic_slice_in_dim(batch, row_idx, 1, axis=axis_b)
@@ -242,7 +316,9 @@ def _insert_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
     row_pos = row_pos.at[slot].set(pos0)
     active = active.at[slot].set((first != eos_id) & (rem > 0))
     remaining = remaining.at[slot].set(rem)
-    return tok, cache, row_lens, row_pos, active, remaining
+    if req_samp is not None:
+        samp = _arm_samp(samp, slot, req_samp)
+    return tok, cache, row_lens, row_pos, active, remaining, samp
 
 
 @functools.partial(
@@ -250,13 +326,13 @@ def _insert_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
     static_argnames=("copy_from_page", "eos_id"),
 )
 def _insert_paged_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
-                          table_row, write_len, pos0, max_new, *,
-                          copy_from_page, eos_id):
+                          table_row, write_len, pos0, max_new,
+                          req_samp=None, *, copy_from_page, eos_id):
     """Paged insert: scatter prefilled row `row_idx`'s pages into the pool
     pages named by `table_row` (static page indices `copy_from_page`
     onward — a prefix request's shared document pages are NOT copied),
     install the row's page table and logical mask, and arm the carry."""
-    tok, cache, row_lens, row_pos, active, remaining = carry
+    tok, cache, row_lens, row_pos, active, remaining, samp = carry
     page = cache.page_size
     W = rows_cache.max_len
     L = cache.k.shape[0]
@@ -302,7 +378,9 @@ def _insert_paged_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
     row_pos = row_pos.at[slot].set(pos0)
     active = active.at[slot].set((first != eos_id) & (rem > 0))
     remaining = remaining.at[slot].set(rem)
-    return tok, cache, row_lens, row_pos, active, remaining
+    if req_samp is not None:
+        samp = _arm_samp(samp, slot, req_samp)
+    return tok, cache, row_lens, row_pos, active, remaining, samp
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -310,7 +388,7 @@ def _write_prefix_program(carry, chunks_k, chunks_v, sk, sv, pids):
     """Pin a precomputed cache into pool pages: chunks [L, n, page, KD]
     (host-staged, page-aligned) written to physical pages `pids` [n].
     Scales [L, n, Kv, page] for int8 pools. Runs once per prefix."""
-    tok, cache, row_lens, row_pos, active, remaining = carry
+    tok, cache, row_lens, row_pos, active, remaining, samp = carry
     k, v = cache.k, cache.v
     k_sc, v_sc = cache.k_scale, cache.v_scale
     n = chunks_k.shape[1]
@@ -327,7 +405,7 @@ def _write_prefix_program(carry, chunks_k, chunks_v, sk, sv, pids):
                 v_sc, sv[:, j:j + 1], (0, pid, 0, 0))
     scales = (dict(k_scale=k_sc, v_scale=v_sc) if cache.quantized else {})
     cache = cache._replace(k=k, v=v, **scales)
-    return (tok, cache, row_lens, row_pos, active, remaining)
+    return (tok, cache, row_lens, row_pos, active, remaining, samp)
 
 
 @functools.partial(jax.jit, static_argnames=("quant",))
@@ -353,18 +431,20 @@ def _gather_prefix_program(k_pages, v_pages, k_sc, v_sc, pt_rows, *, quant):
 @functools.partial(
     jax.jit,
     donate_argnums=(2,),
-    static_argnames=("cfg", "steps", "eos_id", "pad_id"),
+    static_argnames=("cfg", "steps", "eos_id", "pad_id", "sample"),
 )
-def _decode_chunk_program(params, cfg, carry, *, steps, eos_id, pad_id):
+def _decode_chunk_program(params, cfg, carry, *, steps, eos_id, pad_id,
+                          sample=False):
     """`steps` pool-wide decode iterations on device. Each iteration
     appends every active row's pending token at its own offset and samples
-    the next greedily; a row goes inactive the moment it emits EOS or
+    the next (greedily, or per the row's own sampling params when
+    `sample=True`); a row goes inactive the moment it emits EOS or
     exhausts its token budget, so the host only intervenes at chunk
     boundaries. Returns the final carry plus stacked (tokens, emitted)
     [steps, B]."""
 
     def body(c, _):
-        tok, cache, row_lens, row_pos, active, remaining = c
+        tok, cache, row_lens, row_pos, active, remaining, samp = c
         hidden, cache, _ = forward(
             params, cfg, tok[:, None], causal=True,
             attention_mask=active[:, None].astype(jnp.int32),
@@ -372,15 +452,21 @@ def _decode_chunk_program(params, cfg, carry, *, steps, eos_id, pad_id):
             cache=cache, row_offsets=row_lens,
         )
         logits = logits_from_hidden(params, cfg, hidden)[:, 0]
-        nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        if sample:
+            nxt = _sample_rows(logits, samp)
+            temps, tks, tps, keys, n_gen = samp
+        else:
+            nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         emitted = active
         nxt = jnp.where(active, nxt, pad_id)
         adv = active.astype(jnp.int32)
+        if sample:
+            samp = (temps, tks, tps, keys, n_gen + adv)
         row_lens = row_lens + adv
         row_pos = row_pos + adv
         remaining = remaining - adv
         active = active & (nxt != eos_id) & (remaining > 0)
-        return ((nxt, cache, row_lens, row_pos, active, remaining),
+        return ((nxt, cache, row_lens, row_pos, active, remaining, samp),
                 (nxt, emitted))
 
     carry, (toks, emitted) = jax.lax.scan(body, carry, None, length=steps)
@@ -393,10 +479,12 @@ class ServingEngine:
     >>> eng = ServingEngine(cfg, params, max_batch=8, max_len=4096)
     >>> done = eng.run([Request(ids, max_new_tokens=64), ...])
 
-    Greedy decoding (the serving default and the parity-testable mode;
-    sampling belongs to the lockstep generate path, gritlm_tpu/generate.py).
-    Completions include the EOS token when one was emitted, matching
-    generate()'s num_valid accounting."""
+    Greedy decoding by default (the parity-testable mode). `sampling=True`
+    compiles the sampling decode chunk instead: each request then decodes
+    with its OWN (temperature, top_k, top_p, seed) — schedule-invariant
+    per-request key chains, see Request. Greedy requests in a sampling
+    pool stay exactly greedy. Completions include the EOS token when one
+    was emitted, matching generate()'s num_valid accounting."""
 
     def __init__(
         self,
@@ -415,6 +503,7 @@ class ServingEngine:
         paged: bool = False,
         page_size: int = 256,
         pool_pages: Optional[int] = None,
+        sampling: bool = False,
     ):
         self.cfg = cfg
         self.B = max_batch
@@ -497,6 +586,7 @@ class ServingEngine:
             if paged else
             _put_cache(init_cache(cfg, max_batch, max_len, quant=kv_quant))
         )
+        self.sampling = sampling
         self.carry = (
             _put_vec(np.full(max_batch, pad_id, np.int32)),
             pool,
@@ -504,6 +594,7 @@ class ServingEngine:
             _put_vec(np.zeros(max_batch, np.int32)),
             _put_vec(np.zeros(max_batch, bool)),
             _put_vec(np.zeros(max_batch, np.int32)),
+            tuple(_put_vec(np.asarray(x)) for x in _samp_init(max_batch)),
         )
         self.slots: Dict[int, _Slot] = {}
         self.queue: List[Request] = []
@@ -563,7 +654,40 @@ class ServingEngine:
             span += _bucket(req.doc_cache[2], self.buckets)
         return -(-span // self.page)
 
+    def _req_samp_scalars(self, r: Request):
+        """Per-request sampling state for the insert programs (None in
+        greedy pools — keeps the greedy-compiled programs unchanged)."""
+        if not self.sampling:
+            return None
+        return (
+            jnp.float32(r.temperature),
+            jnp.int32(r.top_k),
+            jnp.float32(r.top_p),
+            jax.random.PRNGKey(r.seed),
+        )
+
+    def _samp_rows_for(self, rs, rows):
+        """[rows]-wide sampling vectors for an admission batch's prefill
+        (fold index 0 for every row); pad rows are greedy."""
+        if not self.sampling:
+            return None
+        temps = np.zeros(rows, np.float32)
+        tks = np.zeros(rows, np.int32)
+        tps = np.ones(rows, np.float32)
+        keys = np.zeros((rows, 2), np.uint32)
+        for j, r in enumerate(rs):
+            temps[j], tks[j], tps[j] = r.temperature, r.top_k, r.top_p
+            keys[j] = np.asarray(jax.random.PRNGKey(r.seed))
+        return (
+            jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps),
+            jnp.asarray(keys), jnp.zeros(rows, jnp.int32),
+        )
+
     def submit(self, req: Request) -> None:
+        if req.temperature > 0.0 and not self.sampling:
+            raise ValueError(
+                "temperature > 0 requires ServingEngine(sampling=True)"
+            )
         if req.prefix is not None:
             if not self.paged or req.prefix not in self.prefixes:
                 raise ValueError(
@@ -633,19 +757,20 @@ class ServingEngine:
                 n = len(r.input_ids)
                 ids[j, :n] = r.input_ids
                 mask[j, :n] = 1
+            samp_rows = self._samp_rows_for(rs, rows)
             if kind == "fresh":
                 rowc, firsts = _prefill_program(
                     self.params, self.cfg, self._put_rows(ids),
-                    self._put_rows(mask), bucket=bucket, rows=rows,
-                    quant=self.kv_quant,
+                    self._put_rows(mask), samp_rows, bucket=bucket,
+                    rows=rows, quant=self.kv_quant,
                 )
             elif kind == "host":
                 rowc, firsts = self._prefill_continue(
-                    rs, ids, mask, dbucket, bucket, rows
+                    rs, ids, mask, dbucket, bucket, rows, samp_rows
                 )
             else:
                 rowc, firsts = self._prefill_continue_prefix(
-                    rs, ids, mask, dbucket, bucket, rows
+                    rs, ids, mask, dbucket, bucket, rows, samp_rows
                 )
             firsts.copy_to_host_async()
             for j, (r, pids) in enumerate(rps):
@@ -667,6 +792,7 @@ class ServingEngine:
                         jnp.int32(slot), jnp.asarray(table),
                         jnp.int32(write_len), jnp.int32(pos0),
                         jnp.int32(r.max_new_tokens),
+                        self._req_samp_scalars(r),
                         copy_from_page=(dbucket // self.page
                                         if kind == "prefix" else 0),
                         eos_id=self.eos_id,
@@ -676,11 +802,13 @@ class ServingEngine:
                         self.carry, rowc, firsts, jnp.int32(j),
                         jnp.int32(slot), jnp.int32(write_len),
                         jnp.int32(pos0), jnp.int32(r.max_new_tokens),
+                        self._req_samp_scalars(r),
                         eos_id=self.eos_id,
                     )
                 self.slots[slot] = _Slot(request=r, first_src=(firsts, j))
 
-    def _prefill_continue_prefix(self, rs, ids, mask, dbucket, bucket, rows):
+    def _prefill_continue_prefix(self, rs, ids, mask, dbucket, bucket, rows,
+                                 samp_rows=None):
         """Gather the group's shared prefix pages (device-side, zero host
         traffic) into the dense doc arrays the continuation prefill eats."""
         npg = dbucket // self.page
@@ -699,11 +827,12 @@ class ServingEngine:
         return _prefill_continue_program(
             self.params, self.cfg, dk, dv, sc,
             jnp.asarray(doc_mask), jnp.asarray(dl),
-            self._put_rows(ids), self._put_rows(mask),
+            self._put_rows(ids), self._put_rows(mask), samp_rows,
             dbucket=dbucket, bucket=bucket, rows=rows,
         )
 
-    def _prefill_continue(self, rs, ids, mask, dbucket, bucket, rows):
+    def _prefill_continue(self, rs, ids, mask, dbucket, bucket, rows,
+                          samp_rows=None):
         """Stack the group's host doc caches into [L, rows, dbucket, ...]
         arrays and run the cache-continuation prefill."""
         L = rs[0].doc_cache[0].shape[0]
@@ -731,7 +860,7 @@ class ServingEngine:
         return _prefill_continue_program(
             self.params, self.cfg, jnp.asarray(doc_k), jnp.asarray(doc_v),
             scales, jnp.asarray(doc_mask), jnp.asarray(doc_lens),
-            self._put_rows(ids), self._put_rows(mask),
+            self._put_rows(ids), self._put_rows(mask), samp_rows,
             dbucket=dbucket, bucket=bucket, rows=rows,
         )
 
@@ -815,7 +944,7 @@ class ServingEngine:
             self.carry, toks, emitted = _decode_chunk_program(
                 self.params, self.cfg, self.carry,
                 steps=self.chunk_size, eos_id=self.eos_id,
-                pad_id=self.pad_id,
+                pad_id=self.pad_id, sample=self.sampling,
             )
             toks.copy_to_host_async()
             emitted.copy_to_host_async()

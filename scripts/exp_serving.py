@@ -27,6 +27,10 @@ def main():
     ap.add_argument("--requests", type=int, default=32)
     ap.add_argument("--slots", type=int, default=8)
     ap.add_argument("--kv_quant", action="store_true")
+    ap.add_argument("--paged", action="store_true",
+                    help="shared page pool instead of the dense slot pool")
+    ap.add_argument("--pool_pages", type=int, default=None,
+                    help="paged pool size (default: dense-equivalent)")
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
     args = ap.parse_args()
@@ -87,11 +91,18 @@ def main():
     lock_s = time.perf_counter() - t0
 
     # ---- continuous batching engine -----------------------------------
+    paged_kw = {}
+    if args.paged:
+        # page-aligned buckets; pool sized to the traffic's real reserve
+        # (dense would burn B x max_len regardless)
+        paged_kw = dict(paged=True, page_size=256,
+                        pool_pages=args.pool_pages)
+
     def engine_run():
         eng = ServingEngine(
             cfg, params, max_batch=B, max_len=max_len,
             kv_quant=args.kv_quant, eos_id=-1, chunk_size=args.chunk,
-            prompt_buckets=(256, 512, 1024, 1536),
+            prompt_buckets=(256, 512, 1024, 1536), **paged_kw,
         )
         done = eng.run(list(reqs))
         return sum(len(c.token_ids) for c in done), eng._steps
@@ -102,7 +113,8 @@ def main():
     eng_s = time.perf_counter() - t0
 
     print(f"requests={args.requests} slots={B} "
-          f"prompts 200-1500, new 16-128, kv_quant={args.kv_quant}")
+          f"prompts 200-1500, new 16-128, kv_quant={args.kv_quant} "
+          f"paged={args.paged}")
     print(f"lockstep: {lock_tokens} tokens in {lock_s:.2f}s "
           f"= {lock_tokens/lock_s:.1f} tok/s")
     print(f"engine:   {eng_tokens} tokens in {eng_s:.2f}s "

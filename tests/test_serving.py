@@ -327,3 +327,108 @@ def test_rejects_oversized_request(model):
     )
     with pytest.raises(ValueError, match="exceeds pool max_len"):
         eng.submit(Request(input_ids=list(range(12)), max_new_tokens=8))
+
+
+# ---- per-request sampling -------------------------------------------------
+# The reference samples through HF generate kwargs lockstep-wide; here each
+# request carries its own (temperature, top_k, top_p, seed) and its key
+# chain fold_in(PRNGKey(seed), n) depends only on the request — so outputs
+# are schedule-invariant: slot assignment, chunk size, overlap, co-tenants,
+# and pool layout (dense/paged) cannot change a request's tokens.
+
+
+def _sampled_requests(cfg, seed=11):
+    rng = np.random.default_rng(seed)
+    return [
+        Request(
+            input_ids=rng.integers(3, cfg.vocab_size, size=n).tolist(),
+            max_new_tokens=MAXNEW,
+            request_id=f"s{i}",
+            temperature=1.0,
+            top_p=0.9,
+            seed=100 + i,
+        )
+        for i, n in enumerate([5, 9, 4, 11, 7])
+    ]
+
+
+def test_sampling_pool_greedy_rows_exact(model):
+    """temperature == 0 rows in a sampling pool stay exactly greedy."""
+    cfg, params = model
+    reqs = _requests(cfg, [3, 9, 5, 12])
+    eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=64, chunk_size=4,
+        prompt_buckets=(16,), sampling=True,
+    )
+    _check_parity(cfg, params, eng.run(reqs), reqs)
+
+
+def test_sampling_requires_flag(model):
+    cfg, params = model
+    eng = ServingEngine(cfg, params, max_batch=1, max_len=32,
+                        prompt_buckets=(16,))
+    with pytest.raises(ValueError, match="sampling=True"):
+        eng.submit(Request(input_ids=[3, 4], temperature=0.7))
+
+
+def test_sampling_schedule_invariant(model):
+    """Same requests through three very different schedules (tight pool +
+    single-step strict, wide pool + chunked pipelined, each request ALONE
+    in its own engine) produce identical tokens per request."""
+    cfg, params = model
+    outs = []
+    for max_batch, chunk, overlap in [(2, 1, False), (4, 4, True)]:
+        eng = ServingEngine(
+            cfg, params, max_batch=max_batch, max_len=64, chunk_size=chunk,
+            prompt_buckets=(16,), overlap=overlap, sampling=True,
+        )
+        done = eng.run(_sampled_requests(cfg))
+        outs.append({c.request_id: c.token_ids for c in done})
+    solo = {}
+    for r in _sampled_requests(cfg):
+        eng = ServingEngine(
+            cfg, params, max_batch=1, max_len=64, chunk_size=2,
+            prompt_buckets=(16,), sampling=True,
+        )
+        solo[r.request_id] = eng.run([r])[0].token_ids
+    assert outs[0] == outs[1] == solo
+    # and the draw is deterministic but actually stochastic: a different
+    # seed moves at least one token stream
+    reqs2 = _sampled_requests(cfg)
+    for r in reqs2:
+        r.seed += 1000
+    eng = ServingEngine(
+        cfg, params, max_batch=4, max_len=64, chunk_size=4,
+        prompt_buckets=(16,), sampling=True,
+    )
+    outs2 = {c.request_id: c.token_ids for c in eng.run(reqs2)}
+    assert outs2 != outs[0]
+
+
+def test_sampling_topk1_is_greedy(model):
+    """top_k=1 at any temperature collapses to argmax — pins the filter
+    thresholds against the greedy oracle."""
+    cfg, params = model
+    reqs = _requests(cfg, [6, 10, 4])
+    for r in reqs:
+        r.temperature, r.top_k, r.seed = 3.0, 1, 7
+    eng = ServingEngine(
+        cfg, params, max_batch=3, max_len=64, chunk_size=4,
+        prompt_buckets=(16,), sampling=True,
+    )
+    _check_parity(cfg, params, eng.run(reqs), reqs)
+
+
+def test_sampling_paged_matches_dense(model):
+    """The sampling chunk is pool-layout-agnostic: dense and paged pools
+    give identical sampled streams."""
+    cfg, params = model
+    kw = dict(max_batch=3, max_len=64, chunk_size=2, prompt_buckets=(16,),
+              sampling=True)
+    dense = ServingEngine(cfg, params, **kw).run(_sampled_requests(cfg))
+    paged = ServingEngine(
+        cfg, params, paged=True, page_size=8, pool_pages=25, **kw
+    ).run(_sampled_requests(cfg))
+    d = {c.request_id: c.token_ids for c in dense}
+    p = {c.request_id: c.token_ids for c in paged}
+    assert d == p
