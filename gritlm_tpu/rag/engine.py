@@ -552,6 +552,10 @@ class RAGEngine:
         chunk_size: int = 16,
         pool_max_len: int = 4096,
         prompt_buckets=(64, 128, 256, 512),
+        temperature: float = 0.0,
+        top_k: int = 0,
+        top_p: float = 1.0,
+        seed: int = 0,
     ) -> List[RAGResult]:
         """Continuous-batching RAG serving: retrieve per query, reuse each
         document's precomputed KV cache from the host doc store, and decode
@@ -564,7 +568,11 @@ class RAGEngine:
         answers are identical (same caches, same positions accounting),
         throughput scales with slot occupancy instead of the worst row.
         The reference evaluates doc-cache mode strictly query-by-query
-        (rag/eval.py:199-302)."""
+        (rag/eval.py:199-302).
+
+        temperature > 0 samples each answer with its own key chain
+        (query i uses seed + i) — deterministic in `seed` and invariant
+        to slot scheduling; see serving.Request."""
         from gritlm_tpu.serving import Request, ServingEngine
 
         t0 = time.perf_counter()
@@ -592,7 +600,7 @@ class RAGEngine:
             eos_id=self.model.tokenizer.eos_token_id,
             pad_id=self.model.tokenizer.pad_token_id,
             chunk_size=chunk_size, prompt_buckets=prompt_buckets,
-            mesh=self.model.mesh,
+            mesh=self.model.mesh, sampling=temperature > 0.0,
         )
         done = eng.run([
             Request(
@@ -600,6 +608,8 @@ class RAGEngine:
                                              enc["attention_mask"][i]) if m],
                 max_new_tokens=mnt, request_id=str(i),
                 doc_cache=self._doc_store[(doc_ids[i], False)],
+                temperature=temperature, top_k=top_k, top_p=top_p,
+                seed=seed + i,
             )
             for i in range(B)
         ])

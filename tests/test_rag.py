@@ -313,3 +313,18 @@ def test_serve_encodes_missing_docs_once(engine):
     eng.serve(qs, max_new_tokens=4, slots=1, pool_max_len=512,
               prompt_buckets=(64, 128, 256))
     assert len(eng._doc_store) == n_after
+
+
+def test_serve_sampling_deterministic(engine):
+    """serve(temperature>0): per-query key chains make sampled RAG answers
+    deterministic in the seed (and reproducible across pool layouts)."""
+    eng = RAGEngine(engine.model, index=engine.index, max_new_tokens=4,
+                    encode_max_length=64)
+    eng.precompute_all_doc_caches(batch_size=4)
+    qs = ["what is fact number 2?", "tell me about place 5"]
+    kw = dict(max_new_tokens=6, pool_max_len=512,
+              prompt_buckets=(64, 128, 256), temperature=0.8, top_p=0.9,
+              seed=123)
+    a = [r.answer for r in eng.serve(qs, slots=2, chunk_size=2, **kw)]
+    b = [r.answer for r in eng.serve(qs, slots=1, chunk_size=4, **kw)]
+    assert a == b
