@@ -423,9 +423,12 @@ def _attention_block(
         (k_all, v_all, k_sc, v_sc, kv_mask, offset, lidx,
          page_table) = layer_cache
         per_row = getattr(offset, "ndim", 0) == 1  # [B] slot offsets
-        if per_row and S != 1:
-            raise ValueError("per-row cache offsets require S == 1")
         if page_table is not None:
+            if S != 1:
+                raise ValueError(
+                    "paged pools decode one token per step (speculative "
+                    "serving runs on dense pools)"
+                )
             # paged serving decode: the row's logical slot `offset` lives
             # in page page_table[b, offset // page] at offset % page.
             # INACTIVE rows still execute the write (lockstep program) but
@@ -464,8 +467,13 @@ def _attention_block(
             # scales are slot-minor [L, B, Kv, Smax]
             if per_row:
                 rows = jnp.arange(B)
-                k_sc = k_sc.at[lidx, rows, :, offset].set(ks2[:, 0, :])
-                v_sc = v_sc.at[lidx, rows, :, offset].set(vs2[:, 0, :])
+                if S == 1:
+                    k_sc = k_sc.at[lidx, rows, :, offset].set(ks2[:, 0, :])
+                    v_sc = v_sc.at[lidx, rows, :, offset].set(vs2[:, 0, :])
+                else:
+                    idx = offset[:, None] + jnp.arange(S)[None, :]
+                    k_sc = k_sc.at[lidx, rows[:, None], :, idx].set(ks2)
+                    v_sc = v_sc.at[lidx, rows[:, None], :, idx].set(vs2)
             else:
                 k_sc = jax.lax.dynamic_update_slice(
                     k_sc, ks2.transpose(0, 2, 1)[None], (lidx, 0, 0, offset))
@@ -477,23 +485,34 @@ def _attention_block(
             v2 = v.reshape(B, S, Kv * Dh).astype(v_all.dtype)[None]
         if per_row:
             # continuous-batching decode (serving.py): each slot appends at
-            # its OWN length. Rows are slot-dense (position ≡ slot index),
-            # so the per-row kv_mask alone encodes causality — the kernel
-            # runs mask-bounded with causal=False.
+            # its OWN length. Rows are slot-dense (position ≡ slot index).
+            # S == 1: the per-row kv_mask alone encodes causality — the
+            # kernel runs mask-bounded with causal=False. S > 1 (the
+            # speculative verify chunk): all S slots are mask-valid before
+            # attention, so within-chunk causality needs the per-row causal
+            # bound slot ≤ offset[b] + j.
             rows = jnp.arange(B)
-            k_all = k_all.at[lidx, rows, offset, :].set(k2[0][:, 0, :])
-            v_all = v_all.at[lidx, rows, offset, :].set(v2[0][:, 0, :])
-            att_causal, att_window = False, None
+            if S == 1:
+                k_all = k_all.at[lidx, rows, offset, :].set(k2[0][:, 0, :])
+                v_all = v_all.at[lidx, rows, offset, :].set(v2[0][:, 0, :])
+                att_causal, att_window, att_off = False, None, 0
+            else:
+                idx = offset[:, None] + jnp.arange(S)[None, :]
+                k_all = k_all.at[lidx, rows[:, None], idx, :].set(k2[0])
+                v_all = v_all.at[lidx, rows[:, None], idx, :].set(v2[0])
+                att_causal, att_window, att_off = (
+                    True, cfg.sliding_window, offset
+                )
         else:
             k_all = jax.lax.dynamic_update_slice(
                 k_all, k2, (lidx, 0, offset, 0))
             v_all = jax.lax.dynamic_update_slice(
                 v_all, v2, (lidx, 0, offset, 0))
-            att_causal, att_window = causal, cfg.sliding_window
+            att_causal, att_window, att_off = causal, cfg.sliding_window, offset
         out = cached_attention(
             q, k_all, v_all, kv_mask,
             k_scale=k_sc, v_scale=v_sc,
-            layer=lidx, offset=0 if per_row else offset, causal=att_causal,
+            layer=lidx, offset=att_off, causal=att_causal,
             sliding_window=att_window, num_kv_heads=Kv,
         )
         new_kv = (k_all, v_all, k_sc, v_sc)
@@ -692,17 +711,20 @@ def forward(
     over all valid cache slots (cache.mask) — used for prefill + decode and
     for RAG cache reuse.
 
-    With `row_offsets` [B] (requires cache and S == 1), each batch row
-    appends at its OWN slot offset — the continuous-batching decode step
-    (serving.py), where every slot holds an independent request at an
-    independent length. Rows must be slot-dense (slot index ≡ position).
+    With `row_offsets` [B] (requires cache), each batch row appends at its
+    OWN slot offset — the continuous-batching decode step (serving.py),
+    where every slot holds an independent request at an independent
+    length. Rows must be slot-dense (slot index ≡ position). S > 1 is the
+    speculative verify chunk: S tokens append per row with causal
+    attention inside the chunk; the caller clears rejected slots' mask
+    bits afterwards.
     """
     B, S = input_ids.shape
     x = jnp.take(params["embed"]["embedding"], input_ids, axis=0)
 
     if positions is None:
         if row_offsets is not None:
-            positions = jnp.broadcast_to(row_offsets[:, None], (B, S))
+            positions = row_offsets[:, None] + jnp.arange(S)[None, :]
         elif cache is not None:
             positions = cache.length + jnp.arange(S)[None, :]
             positions = jnp.broadcast_to(positions, (B, S))
@@ -723,12 +745,18 @@ def forward(
             else jnp.ones((B, S), jnp.int32)
         )
         if row_offsets is not None:
-            if S != 1:
-                raise ValueError("row_offsets requires S == 1")
             offset = row_offsets
-            kv_mask = cache.mask.at[jnp.arange(B), row_offsets].max(
-                step_mask[:, 0].astype(cache.mask.dtype)
-            )
+            if S == 1:
+                kv_mask = cache.mask.at[jnp.arange(B), row_offsets].max(
+                    step_mask[:, 0].astype(cache.mask.dtype)
+                )
+            else:
+                # speculative verify chunk: S slots per row at its own
+                # offset; rejected slots' bits are cleared by the caller
+                idx = row_offsets[:, None] + jnp.arange(S)[None, :]
+                kv_mask = cache.mask.at[jnp.arange(B)[:, None], idx].max(
+                    step_mask.astype(cache.mask.dtype)
+                )
         else:
             offset = cache.length
             kv_mask = jax.lax.dynamic_update_slice(

@@ -36,18 +36,24 @@ def make_attention_bias(
     """Build an additive attention bias [B or 1, 1, Sq, Sk].
 
     `offset` is the absolute position of query row 0 (used during decode where
-    q_len==1 but kv_len==cache length). Mirrors the semantics of the reference
+    q_len==1 but kv_len==cache length); a [B] array gives each batch row its
+    own offset (serving row_offsets). Mirrors the semantics of the reference
     mask switch (scripts/modeling_mistral_gritlm.py:1005-1036): causal-4d with
     optional sliding window when `causal`, plain padding expansion otherwise.
     """
     biases = []
     if causal:
-        q_pos = offset + jnp.arange(q_len)[:, None]  # [Sq, 1]
-        k_pos = jnp.arange(kv_len)[None, :]  # [1, Sk]
+        off = jnp.asarray(offset)
+        if off.ndim == 1:  # [B] per-row offsets → [B, Sq, Sk]
+            q_pos = off[:, None, None] + jnp.arange(q_len)[None, :, None]
+            k_pos = jnp.arange(kv_len)[None, None, :]
+        else:
+            q_pos = (off + jnp.arange(q_len)[:, None])[None]  # [1, Sq, 1]
+            k_pos = jnp.arange(kv_len)[None, None, :]  # [1, 1, Sk]
         keep = k_pos <= q_pos
         if sliding_window is not None:
             keep &= k_pos > q_pos - sliding_window
-        biases.append(jnp.where(keep, 0.0, NEG_INF)[None, None, :, :])
+        biases.append(jnp.where(keep, 0.0, NEG_INF)[:, None, :, :])
     if padding_mask is not None:
         pad = jnp.where(padding_mask.astype(bool), 0.0, NEG_INF)
         biases.append(pad[:, None, None, :])
@@ -101,6 +107,8 @@ def multi_head_attention(
     if impl == "auto":
         backend = jax.default_backend()
         impl = "flash" if backend == "tpu" else "reference"
+    if getattr(offset, "ndim", 0) == 1:
+        impl = "reference"  # per-row offsets: prefill kernel is scalar-offset
     if impl == "flash":
         from gritlm_tpu.ops.flash_attention import flash_attention
 

@@ -61,7 +61,9 @@ def _interpret() -> bool:
 
 
 def _kernel(
-    # scalar prefetch: [offset, lo_block, n_valid_blocks, layer] int32
+    # scalar prefetch: [B, 4] int32 per-row [offset, lo_block,
+    # n_valid_blocks, layer] — per-row bounds mean each request streams
+    # only ITS OWN valid cache under ragged serving traffic
     scal_ref,
     mask_ref,  # [1, 1, Smax] int32 key validity (whole row in VMEM)
     q_ref,  # [1, HRP, KD] block-diagonal queries
@@ -86,10 +88,10 @@ def _kernel(
         o_ref, k_scr, v_scr, sems = refs
         ks_scr = vs_scr = ks_hbm = vs_hbm = None
     b = pl.program_id(0)
-    offset = scal_ref[0]
-    lo = scal_ref[1]
-    n_valid = scal_ref[2]
-    layer = scal_ref[3]
+    offset = scal_ref[b, 0]
+    lo = scal_ref[b, 1]
+    n_valid = scal_ref[b, 2]
+    layer = scal_ref[b, 3]
 
     def dmas(slot, ik):
         out = [
@@ -212,7 +214,7 @@ def _decode_call(
     k2: jax.Array,  # [L, B, Smax, KD] full cache
     v2: jax.Array,
     mask: jax.Array,  # [B, Smax] int32
-    scalars: jax.Array,  # [4] int32
+    scalars: jax.Array,  # [B, 4] int32
     k_scale: Optional[jax.Array] = None,  # [L, B, Kv, Smax] (int8 cache)
     v_scale: Optional[jax.Array] = None,
     *,
@@ -338,22 +340,25 @@ def flash_decode(
         padding_mask = jnp.ones((B, Smax), jnp.int32)
     padding_mask = padding_mask.astype(jnp.int32)
 
-    # last chunk containing any valid key; earlier chunks below the sliding
-    # window are skipped via `lo`
+    # last chunk containing any valid key, PER ROW — under ragged serving
+    # traffic each request streams only its own reserved cache, not the
+    # batch max. Chunks below the sliding window are skipped via `lo`.
+    # `offset` may be a scalar (lockstep decode) or [B] (serving
+    # row_offsets); both reduce to the per-row scalar table.
     slot_blk = jnp.arange(Smax, dtype=jnp.int32) // bk + 1  # [Smax]
-    n_valid = jnp.max(padding_mask * slot_blk[None, :])  # 0 if nothing valid
-    offset = jnp.asarray(offset, jnp.int32)
+    n_valid = jnp.max(padding_mask * slot_blk[None, :], axis=1)  # [B]
+    offset = jnp.broadcast_to(jnp.asarray(offset, jnp.int32), (B,))
     if causal:
         # no row attends beyond slot offset + Sq - 1
         n_valid = jnp.minimum(n_valid, (offset + Sq - 1) // bk + 1)
     if sliding_window is not None:
         lo = jnp.maximum(offset - sliding_window + 1, 0) // bk
     else:
-        lo = jnp.zeros((), jnp.int32)
+        lo = jnp.zeros((B,), jnp.int32)
     scalars = jnp.stack([
         offset, lo.astype(jnp.int32), n_valid.astype(jnp.int32),
-        jnp.asarray(layer, jnp.int32),
-    ])
+        jnp.broadcast_to(jnp.asarray(layer, jnp.int32), (B,)),
+    ], axis=1)  # [B, 4]
 
     # q -> block-diagonal rows, HEAD-INTERLEAVED: row = rep * Kv + head
     # (rep = sq * group + g). Row (rep, h) holds head h's query in its own

@@ -556,6 +556,9 @@ class RAGEngine:
         top_k: int = 0,
         top_p: float = 1.0,
         seed: int = 0,
+        speculative: bool = False,
+        spec_ngram: int = 3,
+        spec_k: int = 7,
     ) -> List[RAGResult]:
         """Continuous-batching RAG serving: retrieve per query, reuse each
         document's precomputed KV cache from the host doc store, and decode
@@ -572,7 +575,13 @@ class RAGEngine:
 
         temperature > 0 samples each answer with its own key chain
         (query i uses seed + i) — deterministic in `seed` and invariant
-        to slot scheduling; see serving.Request."""
+        to slot scheduling; see serving.Request.
+
+        speculative=True (greedy-only) runs the prompt-lookup verify
+        pool: each request's lookup corpus is seeded with its retrieved
+        PASSAGE's tokens — extractive answers quote the document, so
+        proposals come from the very text the answer copies, while the
+        document's KV still comes from the precomputed cache."""
         from gritlm_tpu.serving import Request, ServingEngine
 
         t0 = time.perf_counter()
@@ -593,6 +602,17 @@ class RAGEngine:
             for q in queries
         ]
         enc = self.model.tokenizer(prompts, add_special_tokens=False)
+        hists = [None] * B
+        if speculative:
+            denc = self.model.tokenizer(
+                [_doc_string(self.index.passages[d]) for d in doc_ids],
+                add_special_tokens=False,
+            )
+            hists = [
+                [t for t, m in zip(denc["input_ids"][i],
+                                   denc["attention_mask"][i]) if m]
+                for i in range(B)
+            ]
         eng = ServingEngine(
             self.model.config, self.model.params,
             max_batch=slots, max_len=pool_max_len,
@@ -601,6 +621,7 @@ class RAGEngine:
             pad_id=self.model.tokenizer.pad_token_id,
             chunk_size=chunk_size, prompt_buckets=prompt_buckets,
             mesh=self.model.mesh, sampling=temperature > 0.0,
+            speculative=speculative, spec_ngram=spec_ngram, spec_k=spec_k,
         )
         done = eng.run([
             Request(
@@ -609,7 +630,7 @@ class RAGEngine:
                 max_new_tokens=mnt, request_id=str(i),
                 doc_cache=self._doc_store[(doc_ids[i], False)],
                 temperature=temperature, top_k=top_k, top_p=top_p,
-                seed=seed + i,
+                seed=seed + i, hist_ids=hists[i],
             )
             for i in range(B)
         ])

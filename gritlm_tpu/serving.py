@@ -110,6 +110,12 @@ class Request:
     top_k: int = 0
     top_p: float = 1.0
     seed: int = 0
+    # speculative pools: extra lookup-corpus tokens PRECEDING input_ids
+    # (the cached document's token ids for doc_cache/prefix rows — their
+    # KV comes from the cache, but their text is what extractive answers
+    # quote, so seeding the prompt-lookup corpus with them is where
+    # speculation pays). Ignored by non-speculative engines.
+    hist_ids: Optional[List[int]] = None
 
 
 @dataclass
@@ -175,6 +181,15 @@ def _samp_init(max_batch: int):
     )
 
 
+def _hist_init(max_batch: int, hist_width: int):
+    """Per-row token history for speculative prompt lookup (width 1 dummy
+    in non-speculative pools — dead carry weight, never read)."""
+    return (
+        jnp.zeros((max_batch, hist_width), jnp.int32),
+        jnp.zeros(max_batch, jnp.int32),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Jitted programs. Module-level (NOT methods): the jit cache is keyed on the
 # function object, so per-instance bound methods would recompile every
@@ -183,13 +198,16 @@ def _samp_init(max_batch: int):
 #
 # The carry threaded through insert/decode is
 #   (tok [B] int32, cache KVCache, row_lens [B] int32, row_pos [B] int32,
-#    active [B] bool, remaining [B] int32, samp)
+#    active [B] bool, remaining [B] int32, samp, hist)
 # where samp = (temps [B] f32, top_ks [B] i32, top_ps [B] f32,
-# keys [B, 2] u32, n_gen [B] i32) — per-row sampling state, dead weight
-# (DCE'd) in greedy pools. The carry is donated everywhere, so the pool
-# updates in place. row_lens is the cache WRITE SLOT, row_pos the RoPE
-# position — they differ for doc-cache continuation rows, where the
-# document occupies slots [0, dbucket) but only positions [0, doc_len).
+# keys [B, 2] u32, n_gen [B] i32) — per-row sampling state — and hist =
+# (history [B, W] i32, hist_len [B] i32) — per-row token history for
+# speculative prompt lookup (W == 1 dummy in non-speculative pools).
+# Unused tails are dead weight (DCE'd) in pools that don't need them.
+# The carry is donated everywhere, so the pool updates in place.
+# row_lens is the cache WRITE SLOT, row_pos the RoPE position — they
+# differ for doc-cache continuation rows, where the document occupies
+# slots [0, dbucket) but only positions [0, doc_len).
 
 
 @functools.partial(
@@ -262,6 +280,18 @@ def _prefill_continue_program(params, cfg, doc_k, doc_v, doc_scales,
     return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
+def _arm_hist(hist, slot, req_hist, first):
+    """Install one request's prompt history at pool row `slot` and append
+    the prefill's first sample — the lookup corpus for speculative
+    proposals starts as (compact prompt, first token)."""
+    history, hist_len = hist
+    hist_row, hlen = req_hist
+    hist_row = hist_row.at[hlen].set(first)
+    history = jax.lax.dynamic_update_slice(
+        history, hist_row[None, :], (slot, 0))
+    return history, hist_len.at[slot].set(hlen + 1)
+
+
 def _arm_samp(samp, slot, req_samp):
     """Install one request's sampling params at pool row `slot`. The
     fold index starts at 1: the prefill already spent index 0."""
@@ -278,14 +308,15 @@ def _arm_samp(samp, slot, req_samp):
 
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("eos_id",))
 def _insert_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
-                    write_len, pos0, max_new, req_samp=None, *, eos_id):
+                    write_len, pos0, max_new, req_samp=None, req_hist=None,
+                    *, eos_id):
     """Fold prefilled row `row_idx` into pool slot `slot`: copy its K/V
     and mask (zero-extended to the pool width), and arm the decode
     carry — pending token = the prefill's first sample, write slot =
     `write_len`, RoPE position = `pos0`, budget = max_new - 1 (the first
     token is already spent). The carry is donated, so the update is in
     place and chains between in-flight decode chunks."""
-    tok, cache, row_lens, row_pos, active, remaining, samp = carry
+    tok, cache, row_lens, row_pos, active, remaining, samp, hist = carry
 
     def put(pool, batch, axis_b=1):
         row = jax.lax.dynamic_slice_in_dim(batch, row_idx, 1, axis=axis_b)
@@ -318,7 +349,9 @@ def _insert_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
     remaining = remaining.at[slot].set(rem)
     if req_samp is not None:
         samp = _arm_samp(samp, slot, req_samp)
-    return tok, cache, row_lens, row_pos, active, remaining, samp
+    if req_hist is not None:
+        hist = _arm_hist(hist, slot, req_hist, first)
+    return tok, cache, row_lens, row_pos, active, remaining, samp, hist
 
 
 @functools.partial(
@@ -332,7 +365,7 @@ def _insert_paged_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
     pages named by `table_row` (static page indices `copy_from_page`
     onward — a prefix request's shared document pages are NOT copied),
     install the row's page table and logical mask, and arm the carry."""
-    tok, cache, row_lens, row_pos, active, remaining, samp = carry
+    tok, cache, row_lens, row_pos, active, remaining, samp, hist = carry
     page = cache.page_size
     W = rows_cache.max_len
     L = cache.k.shape[0]
@@ -380,7 +413,7 @@ def _insert_paged_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
     remaining = remaining.at[slot].set(rem)
     if req_samp is not None:
         samp = _arm_samp(samp, slot, req_samp)
-    return tok, cache, row_lens, row_pos, active, remaining, samp
+    return tok, cache, row_lens, row_pos, active, remaining, samp, hist
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -388,7 +421,7 @@ def _write_prefix_program(carry, chunks_k, chunks_v, sk, sv, pids):
     """Pin a precomputed cache into pool pages: chunks [L, n, page, KD]
     (host-staged, page-aligned) written to physical pages `pids` [n].
     Scales [L, n, Kv, page] for int8 pools. Runs once per prefix."""
-    tok, cache, row_lens, row_pos, active, remaining, samp = carry
+    tok, cache, row_lens, row_pos, active, remaining, samp, hist = carry
     k, v = cache.k, cache.v
     k_sc, v_sc = cache.k_scale, cache.v_scale
     n = chunks_k.shape[1]
@@ -405,7 +438,7 @@ def _write_prefix_program(carry, chunks_k, chunks_v, sk, sv, pids):
                 v_sc, sv[:, j:j + 1], (0, pid, 0, 0))
     scales = (dict(k_scale=k_sc, v_scale=v_sc) if cache.quantized else {})
     cache = cache._replace(k=k, v=v, **scales)
-    return (tok, cache, row_lens, row_pos, active, remaining, samp)
+    return (tok, cache, row_lens, row_pos, active, remaining, samp, hist)
 
 
 @functools.partial(jax.jit, static_argnames=("quant",))
@@ -444,7 +477,7 @@ def _decode_chunk_program(params, cfg, carry, *, steps, eos_id, pad_id,
     [steps, B]."""
 
     def body(c, _):
-        tok, cache, row_lens, row_pos, active, remaining, samp = c
+        tok, cache, row_lens, row_pos, active, remaining, samp, hist = c
         hidden, cache, _ = forward(
             params, cfg, tok[:, None], causal=True,
             attention_mask=active[:, None].astype(jnp.int32),
@@ -466,11 +499,101 @@ def _decode_chunk_program(params, cfg, carry, *, steps, eos_id, pad_id,
         row_pos = row_pos + adv
         remaining = remaining - adv
         active = active & (nxt != eos_id) & (remaining > 0)
-        return ((nxt, cache, row_lens, row_pos, active, remaining, samp),
-                (nxt, emitted))
+        return ((nxt, cache, row_lens, row_pos, active, remaining, samp,
+                 hist), (nxt, emitted))
 
     carry, (toks, emitted) = jax.lax.scan(body, carry, None, length=steps)
     return carry, toks, emitted
+
+
+@functools.partial(
+    jax.jit,
+    donate_argnums=(2,),
+    static_argnames=("cfg", "steps", "ngram", "k", "eos_id", "pad_id"),
+)
+def _spec_chunk_program(params, cfg, carry, *, steps, ngram, k, eos_id,
+                        pad_id):
+    """`steps` SPECULATIVE pool iterations on device: each iteration
+    proposes k tokens per row by prompt lookup over the row's own history,
+    verifies all k+1 in one per-row-offset forward, and emits the accepted
+    prefix plus the model's bonus token — greedy-parity-exact, up to k+1
+    tokens per forward (spec_decode.py, adapted to per-row frontiers:
+    unlike the lockstep version's shared scalar frontier, rejected slots
+    are simply OVERWRITTEN by the next chunk, because each row's write
+    pointer advances only by its own accepted count — no holes, no
+    cache slack beyond k per request). Returns the final carry plus
+    stacked (tokens [steps, B, k+1], n_emit [steps, B])."""
+    from gritlm_tpu.spec_decode import _lookup_proposals
+
+    def body(c, _):
+        tok, cache, row_lens, row_pos, active, remaining, samp, hist = c
+        history, hist_len = hist
+        B = tok.shape[0]
+        Smax = cache.max_len
+        j = jnp.arange(k + 1)[None, :]
+
+        proposals = _lookup_proposals(history, hist_len, ngram, k, pad_id)
+        chunk = jnp.concatenate([tok[:, None], proposals], axis=1)
+        step_mask = jnp.broadcast_to(
+            active[:, None].astype(jnp.int32), (B, k + 1))
+        positions = row_pos[:, None] + jnp.arange(k + 1)[None, :]
+        hidden, cache, _ = forward(
+            params, cfg, chunk, attention_mask=step_mask, causal=True,
+            positions=positions, cache=cache, row_offsets=row_lens,
+        )
+        greedy = jnp.argmax(
+            logits_from_hidden(params, cfg, hidden), axis=-1
+        ).astype(jnp.int32)  # [B, k+1]
+
+        ok = proposals == greedy[:, :k]
+        a = jnp.sum(jnp.cumprod(ok.astype(jnp.int32), axis=1), axis=1)
+        emit_tok = jnp.concatenate(
+            [proposals, jnp.zeros((B, 1), jnp.int32)], axis=1)
+        bonus = jnp.take_along_axis(greedy, a[:, None], axis=1)[:, 0]
+        emit_tok = jnp.where(j == a[:, None], bonus[:, None], emit_tok)
+        n_emit = a + 1
+        is_eos = emit_tok == eos_id
+        before = (jnp.cumsum(is_eos.astype(jnp.int32), axis=1)
+                  - is_eos.astype(jnp.int32))
+        upto_eos = jnp.sum((before == 0).astype(jnp.int32), axis=1)
+        n_emit = jnp.minimum(n_emit, upto_eos)
+        n_emit = jnp.minimum(n_emit, remaining)
+        n_emit = jnp.where(active, n_emit, 0)
+        hit_eos = jnp.any(is_eos & (j < n_emit[:, None]), axis=1)
+
+        # cache accounting: slot 0 (pending tok) + accepted proposals stay;
+        # rejected slots' bits are cleared and their K/V is overwritten by
+        # the NEXT chunk (the row's pointer advances by n_slots only)
+        n_slots = jnp.where(active, 1 + jnp.minimum(a, n_emit), 0)
+        win = row_lens[:, None] + j
+        bits = (j < n_slots[:, None]).astype(cache.mask.dtype)
+        mask = cache.mask.at[jnp.arange(B)[:, None], win].set(
+            bits, mode="drop")
+        cache = cache._replace(mask=mask)
+
+        valid = j < n_emit[:, None]
+        hist_pos = jnp.where(
+            valid, hist_len[:, None] + j, history.shape[1])
+        history = history.at[jnp.arange(B)[:, None], hist_pos].set(
+            emit_tok, mode="drop")
+        hist_len = hist_len + n_emit
+        new_tok = jnp.where(
+            n_emit > 0,
+            jnp.take_along_axis(
+                emit_tok, jnp.maximum(n_emit - 1, 0)[:, None], axis=1
+            )[:, 0],
+            tok,
+        )
+        row_lens = row_lens + n_slots
+        row_pos = row_pos + n_slots
+        remaining = remaining - n_emit
+        active = active & jnp.logical_not(hit_eos) & (remaining > 0)
+        out_tok = jnp.where(valid, emit_tok, pad_id)
+        return ((new_tok, cache, row_lens, row_pos, active, remaining,
+                 samp, (history, hist_len)), (out_tok, n_emit))
+
+    carry, (toks, n_emit) = jax.lax.scan(body, carry, None, length=steps)
+    return carry, toks, n_emit
 
 
 class ServingEngine:
@@ -504,6 +627,9 @@ class ServingEngine:
         page_size: int = 256,
         pool_pages: Optional[int] = None,
         sampling: bool = False,
+        speculative: bool = False,
+        spec_ngram: int = 3,
+        spec_k: int = 7,
     ):
         self.cfg = cfg
         self.B = max_batch
@@ -511,6 +637,20 @@ class ServingEngine:
         self.eos_id = eos_id
         self.pad_id = pad_id
         self.chunk_size = chunk_size
+        self.speculative = speculative
+        self.spec_ngram = spec_ngram
+        self.spec_k = spec_k
+        if speculative:
+            if sampling:
+                raise ValueError(
+                    "speculative serving is greedy-only (it must be "
+                    "parity-exact with the greedy decode)"
+                )
+            if paged:
+                raise NotImplementedError(
+                    "speculative serving runs on dense pools (the paged "
+                    "kernel decodes one token per step)"
+                )
         self.buckets = [b for b in prompt_buckets if b <= max_len]
         self.overlap = overlap
         self.paged = paged
@@ -595,6 +735,11 @@ class ServingEngine:
             _put_vec(np.zeros(max_batch, bool)),
             _put_vec(np.zeros(max_batch, np.int32)),
             tuple(_put_vec(np.asarray(x)) for x in _samp_init(max_batch)),
+            tuple(
+                _put_vec(np.asarray(x))
+                for x in _hist_init(max_batch,
+                                    max_len if speculative else 1)
+            ),
         )
         self.slots: Dict[int, _Slot] = {}
         self.queue: List[Request] = []
@@ -683,6 +828,21 @@ class ServingEngine:
             jnp.asarray(keys), jnp.zeros(rows, jnp.int32),
         )
 
+    def _req_hist_row(self, r: Request):
+        """One request's compact prompt as a pool-width history row (the
+        prompt-lookup corpus; generated tokens append on device). None in
+        non-speculative pools so their compiled programs are unchanged."""
+        if not self.speculative:
+            return None
+        seq = list(r.hist_ids or []) + list(r.input_ids)
+        # generated tokens append at hist_len; keep the corpus TAIL when
+        # hist_ids would overflow the row (recent context matters most)
+        cap = self.max_len - r.max_new_tokens
+        seq = seq[-cap:]
+        row = np.zeros(self.max_len, np.int32)
+        row[: len(seq)] = seq
+        return jnp.asarray(row), jnp.int32(len(seq))
+
     def submit(self, req: Request) -> None:
         if req.temperature > 0.0 and not self.sampling:
             raise ValueError(
@@ -705,6 +865,11 @@ class ServingEngine:
             need += _bucket(req.doc_cache[2], self.buckets)
         if req.prefix is not None:
             need += len(self.prefixes[req.prefix][0]) * self.page
+        if self.speculative:
+            # frontier slack: a verify chunk writes k+1 slots at the row's
+            # write pointer before acceptance masks them, so the last
+            # chunk can touch slots up to (written + spec_k)
+            need += self.spec_k
         if need > self.max_len:
             raise ValueError(
                 f"prompt {len(req.input_ids)} + max_new {req.max_new_tokens}"
@@ -802,7 +967,7 @@ class ServingEngine:
                         self.carry, rowc, firsts, jnp.int32(j),
                         jnp.int32(slot), jnp.int32(write_len),
                         jnp.int32(pos0), jnp.int32(r.max_new_tokens),
-                        self._req_samp_scalars(r),
+                        self._req_samp_scalars(r), self._req_hist_row(r),
                         eos_id=self.eos_id,
                     )
                 self.slots[slot] = _Slot(request=r, first_src=(firsts, j))
@@ -912,8 +1077,20 @@ class ServingEngine:
         if chunk is None:
             return
         toks_d, emitted_d = chunk
-        toks = np.asarray(toks_d)  # [steps, B]
-        emitted = np.asarray(emitted_d)
+        toks = np.asarray(toks_d)  # [steps, B] (spec: [steps, B, k+1])
+        emitted = np.asarray(emitted_d)  # [steps, B] bool (spec: n_emit i32)
+        if self.speculative:
+            for i in list(self.slots.keys()):
+                s = self.slots[i]
+                for step in range(toks.shape[0]):
+                    for t in toks[step, i, : emitted[step, i]].tolist():
+                        s.generated.append(int(t))
+                        self._maybe_finish(i, int(t))
+                        if i not in self.slots:
+                            break
+                    if i not in self.slots:
+                        break
+            return
         for i in list(self.slots.keys()):
             # each emission wrote one pending token's K/V and advanced the
             # device row pointer once; rows the device already stopped
@@ -941,11 +1118,18 @@ class ServingEngine:
         n_active = len(self.slots)
         cur = None
         if self.slots:
-            self.carry, toks, emitted = _decode_chunk_program(
-                self.params, self.cfg, self.carry,
-                steps=self.chunk_size, eos_id=self.eos_id,
-                pad_id=self.pad_id, sample=self.sampling,
-            )
+            if self.speculative:
+                self.carry, toks, emitted = _spec_chunk_program(
+                    self.params, self.cfg, self.carry,
+                    steps=self.chunk_size, ngram=self.spec_ngram,
+                    k=self.spec_k, eos_id=self.eos_id, pad_id=self.pad_id,
+                )
+            else:
+                self.carry, toks, emitted = _decode_chunk_program(
+                    self.params, self.cfg, self.carry,
+                    steps=self.chunk_size, eos_id=self.eos_id,
+                    pad_id=self.pad_id, sample=self.sampling,
+                )
             toks.copy_to_host_async()
             emitted.copy_to_host_async()
             self._steps += self.chunk_size

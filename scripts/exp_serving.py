@@ -33,6 +33,17 @@ def main():
                     help="paged pool size (default: dense-equivalent)")
     ap.add_argument("--chunk", type=int, default=16)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--speculative", action="store_true",
+                    help="prompt-lookup speculative pool (greedy-only); "
+                    "also reports the plain engine on the same traffic")
+    ap.add_argument("--spec_k", type=int, default=7)
+    ap.add_argument("--spec_ngram", type=int, default=3)
+    ap.add_argument("--workload", choices=("random", "repetitive"),
+                    default="random",
+                    help="repetitive = 32-token motif tiled per prompt "
+                    "(the extractive-RAG-like case speculation targets)")
+    ap.add_argument("--new_lo", type=int, default=16)
+    ap.add_argument("--new_hi", type=int, default=128)
     args = ap.parse_args()
 
     from __graft_entry__ import _bench_config
@@ -46,13 +57,17 @@ def main():
 
     B = args.slots
     plens = rng.integers(200, 1500, args.requests)
-    nnews = rng.integers(16, 128, args.requests)
+    nnews = rng.integers(args.new_lo, args.new_hi, args.requests)
+
+    def prompt_ids(n):
+        if args.workload == "repetitive":
+            motif = rng.integers(3, cfg.vocab_size, 32)
+            return np.tile(motif, n // 32 + 1)[:n].tolist()
+        return rng.integers(3, cfg.vocab_size, size=n).tolist()
+
     reqs = [
-        Request(
-            input_ids=rng.integers(3, cfg.vocab_size, size=int(n)).tolist(),
-            max_new_tokens=int(m),
-            request_id=str(i),
-        )
+        Request(input_ids=prompt_ids(int(n)), max_new_tokens=int(m),
+                request_id=str(i))
         for i, (n, m) in enumerate(zip(plens, nnews))
     ]
     max_len = 2048
@@ -98,11 +113,15 @@ def main():
         paged_kw = dict(paged=True, page_size=256,
                         pool_pages=args.pool_pages)
 
-    def engine_run():
+    def engine_run(speculative=False):
+        spec_kw = {}
+        if speculative:
+            spec_kw = dict(speculative=True, spec_k=args.spec_k,
+                           spec_ngram=args.spec_ngram)
         eng = ServingEngine(
             cfg, params, max_batch=B, max_len=max_len,
             kv_quant=args.kv_quant, eos_id=-1, chunk_size=args.chunk,
-            prompt_buckets=(256, 512, 1024, 1536), **paged_kw,
+            prompt_buckets=(256, 512, 1024, 1536), **paged_kw, **spec_kw,
         )
         done = eng.run(list(reqs))
         return sum(len(c.token_ids) for c in done), eng._steps
@@ -113,14 +132,25 @@ def main():
     eng_s = time.perf_counter() - t0
 
     print(f"requests={args.requests} slots={B} "
-          f"prompts 200-1500, new 16-128, kv_quant={args.kv_quant} "
-          f"paged={args.paged}")
+          f"prompts 200-1500, new {args.new_lo}-{args.new_hi}, "
+          f"kv_quant={args.kv_quant} "
+          f"paged={args.paged} workload={args.workload}")
     print(f"lockstep: {lock_tokens} tokens in {lock_s:.2f}s "
           f"= {lock_tokens/lock_s:.1f} tok/s")
     print(f"engine:   {eng_tokens} tokens in {eng_s:.2f}s "
           f"= {eng_tokens/eng_s:.1f} tok/s  ({steps} steps, "
           f"{eng_tokens/steps:.2f} useful tokens/step)")
     print(f"speedup: {(eng_tokens/eng_s)/(lock_tokens/lock_s):.2f}x")
+
+    if args.speculative:
+        spec_tokens, _ = engine_run(speculative=True)  # warmup
+        t0 = time.perf_counter()
+        spec_tokens, spec_steps = engine_run(speculative=True)
+        spec_s = time.perf_counter() - t0
+        print(f"spec:     {spec_tokens} tokens in {spec_s:.2f}s "
+              f"= {spec_tokens/spec_s:.1f} tok/s  ({spec_steps} verify "
+              f"iters, {spec_tokens/spec_steps:.2f} useful tokens/iter)")
+        print(f"spec vs engine: {(spec_tokens/spec_s)/(eng_tokens/eng_s):.2f}x")
 
 
 if __name__ == "__main__":

@@ -181,3 +181,28 @@ def test_cached_attention_dispatch():
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), atol=2e-3, rtol=2e-3
     )
+
+
+def test_per_row_offsets_causal_chunk():
+    """Vector offsets (serving speculative verify): each row's Sq-token
+    chunk is causally bounded at its OWN offset, and streaming is bounded
+    by each row's own valid slots."""
+    key = jax.random.PRNGKey(9)
+    L, B, Smax, hkv, dh, H, Sq = 2, 3, 512, 2, 128, 4, 4
+    k_all, v_all = _mk_cache(key, L, B, Smax, hkv, dh)
+    q = _rand(jax.random.fold_in(key, 1), (B, Sq, H, dh))
+    offs = jnp.asarray([5, 130, 257], jnp.int32)
+    mask = np.zeros((B, Smax), np.int32)
+    for b, o in enumerate([5, 130, 257]):
+        mask[b, : o + Sq] = 1
+    mask = jnp.asarray(mask)
+    for layer in range(L):
+        got = flash_decode(
+            q, k_all, v_all, mask, causal=True, offset=offs, layer=layer,
+        )
+        want = _oracle(
+            q, k_all, v_all, mask, layer=layer, causal=True, offset=offs,
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-3, rtol=2e-3
+        )

@@ -297,6 +297,12 @@ def test_serve_matches_lockstep_doc_mode(engine):
                        pool_max_len=512, prompt_buckets=(64, 128, 256))
     assert [r.answer for r in served] == lockstep
     assert all(r.passages and r.scores for r in served)
+    # speculative serving pool (lookup corpus seeded with each passage's
+    # tokens): greedy answers must stay byte-identical
+    spec = eng.serve(qs, max_new_tokens=6, slots=2, chunk_size=2,
+                     pool_max_len=512, prompt_buckets=(64, 128, 256),
+                     speculative=True, spec_ngram=2, spec_k=3)
+    assert [r.answer for r in spec] == lockstep
 
 
 def test_serve_encodes_missing_docs_once(engine):

@@ -238,18 +238,22 @@ def test_doc_cache_quant_mismatch_rejected(model):
         eng.submit(req)
 
 
-def test_mesh_sharded_engine_matches_oracle(model):
+@pytest.mark.parametrize("speculative", [False, True])
+def test_mesh_sharded_engine_matches_oracle(model, speculative):
     """Multi-chip serving: the same scheduler over a (data=4, fsdp=2)
     GSPMD mesh — slot pool sharded over the batch axes, params over the
-    FSDP rules — stays token-exact vs the single-device solo oracle."""
+    FSDP rules — stays token-exact vs the single-device solo oracle.
+    Speculative pools shard the same way (history rides the carry)."""
     from gritlm_tpu.parallel import MeshConfig, make_mesh
 
     cfg, params = model
     mesh = make_mesh(MeshConfig(data=4, fsdp=2))
     reqs = _requests(cfg, [3, 9, 5, 12, 7])
+    kw = (dict(speculative=True, spec_ngram=2, spec_k=3)
+          if speculative else {})
     eng = ServingEngine(
         cfg, params, max_batch=8, max_len=64, chunk_size=4,
-        prompt_buckets=(16,), mesh=mesh,
+        prompt_buckets=(16,), mesh=mesh, **kw,
     )
     done = eng.run(reqs)
     _check_parity(cfg, params, done, reqs)
@@ -432,3 +436,86 @@ def test_sampling_paged_matches_dense(model):
     d = {c.request_id: c.token_ids for c in dense}
     p = {c.request_id: c.token_ids for c in paged}
     assert d == p
+
+
+# ---- speculative serving ---------------------------------------------------
+
+
+def test_speculative_pool_matches_lockstep_oracle(model):
+    """Speculative serving is parity-exact: ragged requests through the
+    prompt-lookup verify pool emit token-for-token what the solo greedy
+    oracle emits, under slot reuse and chunked scheduling."""
+    cfg, params = model
+    reqs = _requests(cfg, [3, 9, 5, 12, 7, 4])
+    eng = ServingEngine(
+        cfg, params, max_batch=3, max_len=64, chunk_size=2,
+        prompt_buckets=(16,), speculative=True, spec_ngram=2, spec_k=3,
+    )
+    _check_parity(cfg, params, eng.run(reqs), reqs)
+
+
+def test_speculative_pool_accepts_on_repetitive_prompts(model):
+    """Repetitive prompts give the lookup real hits: parity still exact,
+    and the pool finishes in fewer verify iterations than tokens emitted
+    (the whole point of speculation)."""
+    cfg, params = model
+    pat = [5, 11, 23, 7]
+    reqs = [
+        Request(input_ids=pat * 4, max_new_tokens=16, request_id="rep0"),
+        Request(input_ids=[9, 13] * 6, max_new_tokens=16,
+                request_id="rep1"),
+    ]
+    eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=96, chunk_size=1,
+        prompt_buckets=(16,), speculative=True, spec_ngram=2, spec_k=4,
+    )
+    done = eng.run(reqs)
+    _check_parity(cfg, params, done, reqs)
+    # _steps counts pool verify iterations (one forward serves all rows).
+    # A greedy pool emitting 16 tokens/row needs >= 15 decode iterations
+    # (token 1 comes from prefill); acceptance must beat that.
+    assert eng._steps < 15, eng._steps
+
+
+def test_speculative_doc_cache_continuation(model):
+    """Doc-cache continuation rows decode speculatively too (history =
+    prompt only; the cached document contributes KV, not lookup corpus)."""
+    cfg, params = model
+    rng = np.random.default_rng(11)
+    doc = rng.integers(3, cfg.vocab_size, size=9).tolist()
+    prompt = rng.integers(3, cfg.vocab_size, size=5).tolist()
+    req = Request(input_ids=prompt, max_new_tokens=MAXNEW, request_id="d",
+                  doc_cache=_doc_entry(cfg, params, doc), hist_ids=doc)
+    eng = ServingEngine(
+        cfg, params, max_batch=1, max_len=64, chunk_size=2,
+        prompt_buckets=(16,), speculative=True, spec_ngram=2, spec_k=3,
+    )
+    (done,) = eng.run([req])
+    assert done.token_ids == _oracle(cfg, params, doc + prompt, MAXNEW)
+
+
+def test_speculative_rejects_sampling_and_paged(model):
+    cfg, params = model
+    with pytest.raises(ValueError, match="greedy-only"):
+        ServingEngine(cfg, params, max_batch=1, max_len=64,
+                      sampling=True, speculative=True)
+    with pytest.raises(NotImplementedError):
+        ServingEngine(cfg, params, max_batch=1, max_len=64, paged=True,
+                      page_size=8, speculative=True)
+
+
+def test_speculative_int8_pool(model):
+    """Speculation composes with the quantized KV pool (per-slot scale
+    writes take the S>1 path)."""
+    cfg, params = model
+    reqs = _requests(cfg, [4, 7], seed=9)
+    eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=64, kv_quant=True,
+        chunk_size=2, prompt_buckets=(16,), speculative=True,
+        spec_ngram=2, spec_k=3,
+    )
+    done = eng.run(reqs)
+    by_id = {c.request_id: c for c in done}
+    for r in reqs:
+        got = by_id[r.request_id].token_ids
+        assert 1 <= len(got) <= MAXNEW
