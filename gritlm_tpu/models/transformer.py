@@ -424,40 +424,38 @@ def _attention_block(
          page_table) = layer_cache
         per_row = getattr(offset, "ndim", 0) == 1  # [B] slot offsets
         if page_table is not None:
-            if S != 1:
-                raise ValueError(
-                    "paged pools decode one token per step (speculative "
-                    "serving runs on dense pools)"
-                )
             # paged serving decode: the row's logical slot `offset` lives
             # in page page_table[b, offset // page] at offset % page.
             # INACTIVE rows still execute the write (lockstep program) but
             # their page-table entry may alias another request's page —
             # redirect them to the reserved scratch page 0 (dense pools
-            # are immune: a row only ever writes its own row).
+            # are immune: a row only ever writes its own row). S > 1 is
+            # the speculative verify chunk: S tokens land at logical
+            # slots offset + j (which may straddle a page boundary) with
+            # intra-chunk causality handled by the kernel's per-row bound.
             from gritlm_tpu.ops.paged_attention import paged_decode
 
             page = k_all.shape[2]
-            pids = jnp.take_along_axis(
-                page_table, (offset // page)[:, None], axis=1
-            )[:, 0]
+            lslots = offset[:, None] + jnp.arange(S)[None, :]  # [B, S]
+            pids = jnp.take_along_axis(page_table, lslots // page, axis=1)
             if padding_mask is not None:
-                pids = jnp.where(padding_mask[:, 0] > 0, pids, 0)
-            offs = offset % page
+                pids = jnp.where(padding_mask > 0, pids, 0)
+            offs = lslots % page
             if k_sc is not None:
                 k2, ks2 = quantize_kv(k)
                 v2, vs2 = quantize_kv(v)
-                k_sc = k_sc.at[lidx, pids, :, offs].set(ks2[:, 0, :])
-                v_sc = v_sc.at[lidx, pids, :, offs].set(vs2[:, 0, :])
+                k_sc = k_sc.at[lidx, pids, :, offs].set(ks2)
+                v_sc = v_sc.at[lidx, pids, :, offs].set(vs2)
             else:
                 k2 = k.reshape(B, S, Kv * Dh).astype(k_all.dtype)
                 v2 = v.reshape(B, S, Kv * Dh).astype(v_all.dtype)
-            k_all = k_all.at[lidx, pids, offs, :].set(k2[:, 0, :])
-            v_all = v_all.at[lidx, pids, offs, :].set(v2[:, 0, :])
+            k_all = k_all.at[lidx, pids, offs, :].set(k2)
+            v_all = v_all.at[lidx, pids, offs, :].set(v2)
             out = paged_decode(
                 q, k_all, v_all, page_table, kv_mask,
                 layer=lidx, num_kv_heads=Kv,
                 k_scale=k_sc, v_scale=v_sc,
+                causal=S > 1, offset=offset if S > 1 else 0,
             )
             return (_mm(out.reshape(B, S, H * Dh), p["wo"]),
                     (k_all, v_all, k_sc, v_sc))

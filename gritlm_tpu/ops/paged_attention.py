@@ -55,7 +55,7 @@ def _interpret() -> bool:
 
 def _kernel(
     layer_ref,  # [1] int32 scalar prefetch
-    nv_ref,  # [B] int32 valid page count per row
+    nvo_ref,  # [B, 2] int32 per-row (valid page count, causal offset)
     pt_ref,  # [B, maxp] int32 page table
     mask_ref,  # [1, 1, Smax] int32 logical slot validity (this row)
     q_ref,  # [1, HRP, KD] block-diagonal queries
@@ -64,9 +64,11 @@ def _kernel(
     *refs,  # quant: ks_hbm/vs_hbm [L, P, Kv, page] then outputs/scratch
     scale: float,
     page: int,
+    group: int,  # query heads per kv head (GQA)
     n_kv: int,
     scale_reps: int,
     quant: bool,
+    causal: bool,
 ):
     if quant:
         (ks_hbm, vs_hbm, o_ref,
@@ -76,7 +78,8 @@ def _kernel(
         ks_scr = vs_scr = ks_hbm = vs_hbm = None
     b = pl.program_id(0)
     layer = layer_ref[0]
-    n_valid = nv_ref[b]
+    n_valid = nvo_ref[b, 0]
+    offset = nvo_ref[b, 1]
 
     def dmas(slot, ik):
         pid = pt_ref[b, ik]
@@ -138,6 +141,16 @@ def _kernel(
 
             kmask = mask_ref[0, 0, pl.ds(ik * page, page)]
             keep = jnp.broadcast_to(kmask[None, :] > 0, s.shape)
+            if causal:
+                # verify chunk (Sq > 1): q row = rep * n_kv + head with
+                # rep = sq * group + g; its token sits at LOGICAL slot
+                # offset + sq and may only see slots at or before it
+                row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                q_pos = offset + (row // n_kv) // group
+                k_pos = ik * page + jax.lax.broadcasted_iota(
+                    jnp.int32, s.shape, 1
+                )
+                keep &= k_pos <= q_pos
             s = jnp.where(keep, s, NEG_INF)
 
             m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
@@ -169,7 +182,7 @@ def _kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "page", "group", "n_kv")
+    jax.jit, static_argnames=("scale", "page", "group", "n_kv", "causal")
 )
 def _paged_call(
     qbd: jax.Array,  # [B, HRP, KD]
@@ -177,7 +190,7 @@ def _paged_call(
     v_pages: jax.Array,
     mask: jax.Array,  # [B, Smax] logical
     layer_arr: jax.Array,  # [1] int32
-    n_valid: jax.Array,  # [B] int32 pages
+    nvo: jax.Array,  # [B, 2] int32 per-row (valid pages, causal offset)
     page_table: jax.Array,  # [B, maxp] int32
     k_scale: Optional[jax.Array] = None,  # [L, P, Kv, page]
     v_scale: Optional[jax.Array] = None,
@@ -186,6 +199,7 @@ def _paged_call(
     page: int,
     group: int,
     n_kv: int,
+    causal: bool = False,
 ):
     B, HRP, KD = qbd.shape
     Smax = mask.shape[1]
@@ -200,7 +214,7 @@ def _paged_call(
         pltpu.VMEM((NBUF, page, KD), k_pages.dtype),
         pltpu.VMEM((NBUF, page, KD), v_pages.dtype),
     ]
-    operands = [layer_arr, n_valid, page_table,
+    operands = [layer_arr, nvo, page_table,
                 mask[:, None, :], qbd, k_pages, v_pages]
     if quant:
         Kv = k_scale.shape[2]
@@ -223,8 +237,8 @@ def _paged_call(
     )
     kernel = functools.partial(
         _kernel,
-        scale=scale, page=page, n_kv=n_kv, scale_reps=HRP // n_kv,
-        quant=quant,
+        scale=scale, page=page, group=group, n_kv=n_kv,
+        scale_reps=HRP // n_kv, quant=quant, causal=causal,
     )
     return pl.pallas_call(
         kernel,
@@ -239,7 +253,7 @@ def _paged_call(
 
 def _gather_reference(
     q, k_pages, v_pages, page_table, mask, *, layer, num_kv_heads,
-    k_scale, v_scale
+    k_scale, v_scale, causal=False, offset=0
 ):
     """XLA oracle / fallback: gather the rows' pages into a dense logical
     cache and run masked attention. Materializes [B, Smax, KD] per layer —
@@ -268,7 +282,7 @@ def _gather_reference(
             B, maxp * page, num_kv_heads)[..., None]
         k = (k.astype(jnp.float32) * ks.astype(jnp.float32)).astype(q.dtype)
         v = (v.astype(jnp.float32) * vs.astype(jnp.float32)).astype(q.dtype)
-    return multi_head_attention(q, k, v, mask, causal=False)
+    return multi_head_attention(q, k, v, mask, causal=causal, offset=offset)
 
 
 def paged_decode(
@@ -282,10 +296,15 @@ def paged_decode(
     num_kv_heads: Optional[int] = None,
     k_scale: Optional[jax.Array] = None,  # [L, P, Kv, page]
     v_scale: Optional[jax.Array] = None,
+    causal: bool = False,
+    offset: int | jax.Array = 0,  # [B] or scalar LOGICAL slot of q row 0
 ) -> jax.Array:
     """Decode attention over a paged pool (mask-bounded causality — the
-    serving per-row contract). Dispatches to the Pallas kernel where the
-    geometry allows, else the gather fallback."""
+    serving per-row contract). `causal=True` with per-row `offset` adds
+    the intra-chunk causal bound for Sq > 1 speculative verify chunks:
+    query j of row b sees logical slots <= offset[b] + j. Dispatches to
+    the Pallas kernel where the geometry allows, else the gather
+    fallback."""
     B, Sq, H, Dh = q.shape
     page = k_pages.shape[2]
     KD = k_pages.shape[3]
@@ -293,18 +312,21 @@ def paged_decode(
     group = H // Hkv
     maxp = page_table.shape[1]
     mask = mask.astype(jnp.int32)
+    offset = jnp.broadcast_to(jnp.asarray(offset, jnp.int32), (B,))
 
     # per-row valid page count: pages at/after the last valid logical slot
     blk = jnp.arange(mask.shape[1], dtype=jnp.int32) // page + 1
     n_valid = jnp.max(mask * blk[None, :], axis=1)  # [B]
+    if causal:
+        # no row attends beyond logical slot offset + Sq - 1
+        n_valid = jnp.minimum(n_valid, (offset + Sq - 1) // page + 1)
 
     rows = Sq * group
     t = 8 // math.gcd(Hkv, 8)
     RP = max(-(-rows // t) * t, t)
     HRP = RP * Hkv
     kernel_ok = (
-        Sq == 1
-        and KD % 128 == 0
+        KD % 128 == 0
         and HRP * KD * 4 <= MAX_ACC_BYTES
         and page in (128, 256, 512)
         and (NBUF * 2 * page * KD * k_pages.dtype.itemsize
@@ -315,6 +337,7 @@ def paged_decode(
             q, k_pages, v_pages, page_table, mask,
             layer=layer, num_kv_heads=Hkv,
             k_scale=k_scale, v_scale=v_scale,
+            causal=causal, offset=offset,
         )
 
     qh = q.reshape(B, Sq, Hkv, group, Dh).transpose(0, 1, 3, 2, 4)
@@ -327,10 +350,10 @@ def paged_decode(
     obd = _paged_call(
         qbd, k_pages, v_pages, mask,
         jnp.asarray(layer, jnp.int32)[None],
-        n_valid.astype(jnp.int32),
+        jnp.stack([n_valid.astype(jnp.int32), offset], axis=1),
         jnp.clip(page_table, 0, k_pages.shape[1] - 1).astype(jnp.int32),
         k_scale, v_scale,
-        scale=Dh ** -0.5, page=page, group=group, n_kv=Hkv,
+        scale=Dh ** -0.5, page=page, group=group, n_kv=Hkv, causal=causal,
     )
     o5 = obd.reshape(B, RP, Hkv, Hkv, Dh)
     oh = jnp.einsum("brhkd,hk->brhd", o5, eye.astype(jnp.float32))

@@ -360,7 +360,8 @@ def _insert_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
 )
 def _insert_paged_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
                           table_row, write_len, pos0, max_new,
-                          req_samp=None, *, copy_from_page, eos_id):
+                          req_samp=None, req_hist=None, *,
+                          copy_from_page, eos_id):
     """Paged insert: scatter prefilled row `row_idx`'s pages into the pool
     pages named by `table_row` (static page indices `copy_from_page`
     onward — a prefix request's shared document pages are NOT copied),
@@ -413,6 +414,8 @@ def _insert_paged_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
     remaining = remaining.at[slot].set(rem)
     if req_samp is not None:
         samp = _arm_samp(samp, slot, req_samp)
+    if req_hist is not None:
+        hist = _arm_hist(hist, slot, req_hist, first)
     return tok, cache, row_lens, row_pos, active, remaining, samp, hist
 
 
@@ -529,7 +532,6 @@ def _spec_chunk_program(params, cfg, carry, *, steps, ngram, k, eos_id,
         tok, cache, row_lens, row_pos, active, remaining, samp, hist = c
         history, hist_len = hist
         B = tok.shape[0]
-        Smax = cache.max_len
         j = jnp.arange(k + 1)[None, :]
 
         proposals = _lookup_proposals(history, hist_len, ngram, k, pad_id)
@@ -640,17 +642,11 @@ class ServingEngine:
         self.speculative = speculative
         self.spec_ngram = spec_ngram
         self.spec_k = spec_k
-        if speculative:
-            if sampling:
-                raise ValueError(
-                    "speculative serving is greedy-only (it must be "
-                    "parity-exact with the greedy decode)"
-                )
-            if paged:
-                raise NotImplementedError(
-                    "speculative serving runs on dense pools (the paged "
-                    "kernel decodes one token per step)"
-                )
+        if speculative and sampling:
+            raise ValueError(
+                "speculative serving is greedy-only (it must be "
+                "parity-exact with the greedy decode)"
+            )
         self.buckets = [b for b in prompt_buckets if b <= max_len]
         self.overlap = overlap
         self.paged = paged
@@ -797,6 +793,12 @@ class ServingEngine:
         span = _bucket(len(req.input_ids), self.buckets) + req.max_new_tokens
         if req.doc_cache is not None:
             span += _bucket(req.doc_cache[2], self.buckets)
+        if self.speculative:
+            # the verify frontier writes up to spec_k slots past the last
+            # accepted token; those logical slots need real pages (an
+            # unmapped chunk aliases the scratch page and would corrupt
+            # accepted tokens' K/V)
+            span += self.spec_k
         return -(-span // self.page)
 
     def _req_samp_scalars(self, r: Request):
@@ -957,7 +959,7 @@ class ServingEngine:
                         jnp.int32(slot), jnp.asarray(table),
                         jnp.int32(write_len), jnp.int32(pos0),
                         jnp.int32(r.max_new_tokens),
-                        self._req_samp_scalars(r),
+                        self._req_samp_scalars(r), self._req_hist_row(r),
                         copy_from_page=(dbucket // self.page
                                         if kind == "prefix" else 0),
                         eos_id=self.eos_id,

@@ -35,6 +35,13 @@ def main():
     ap.add_argument("--max_new", type=int, default=32)
     ap.add_argument("--kv_quant", action="store_true")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--speculative", action="store_true",
+                    help="add a prefix+speculation run (lookup corpus "
+                    "seeded with the doc's tokens)")
+    ap.add_argument("--workload", choices=("random", "repetitive"),
+                    default="random",
+                    help="repetitive doc = 32-token motif tiled (the "
+                    "extractive case speculation targets)")
     args = ap.parse_args()
 
     from __graft_entry__ import _bench_config
@@ -46,7 +53,12 @@ def main():
     params = init_params(cfg, jax.random.PRNGKey(0), with_lm_head=True)
     rng = np.random.default_rng(args.seed)
 
-    doc = rng.integers(3, cfg.vocab_size, size=args.doc_tokens).tolist()
+    if args.workload == "repetitive":
+        motif = rng.integers(3, cfg.vocab_size, 32)
+        doc = np.tile(motif, args.doc_tokens // 32 + 1)[
+            : args.doc_tokens].tolist()
+    else:
+        doc = rng.integers(3, cfg.vocab_size, size=args.doc_tokens).tolist()
     prompts = [rng.integers(3, cfg.vocab_size, size=int(n)).tolist()
                for n in rng.integers(16, 120, args.queries)]
 
@@ -84,22 +96,28 @@ def main():
         done = eng.run(reqs)
         return sum(len(c.token_ids) for c in done)
 
-    def run_prefix():
-        npages = (args.queries // B + 2) * (max_len // page)
+    def run_prefix(speculative=False):
+        spec_kw = (dict(speculative=True, spec_ngram=3, spec_k=7)
+                   if speculative else {})
         eng = ServingEngine(
             cfg, params, max_batch=B, max_len=max_len, eos_id=-1,
             kv_quant=args.kv_quant, chunk_size=16, prompt_buckets=buckets,
             paged=True, page_size=page,
             pool_pages=B * (max_len // page) + (dbucket // page) + 1,
+            **spec_kw,
         )
         eng.register_prefix("doc", entry)
         reqs = [Request(input_ids=p, max_new_tokens=args.max_new,
-                        request_id=str(i), prefix="doc")
+                        request_id=str(i), prefix="doc",
+                        hist_ids=doc if speculative else None)
                 for i, p in enumerate(prompts)]
         done = eng.run(reqs)
         return sum(len(c.token_ids) for c in done)
 
-    for name, fn in (("doc_cache", run_doc_cache), ("prefix", run_prefix)):
+    runs = [("doc_cache", run_doc_cache), ("prefix", run_prefix)]
+    if args.speculative:
+        runs.append(("prefix+spec", lambda: run_prefix(speculative=True)))
+    for name, fn in runs:
         toks = fn()  # warmup: compiles + first uploads
         t0 = time.perf_counter()
         toks = fn()

@@ -165,3 +165,39 @@ def test_paged_rejects_prefill():
     cache = init_paged_cache(cfg, 2, 16, 4, page=8)
     with pytest.raises(ValueError, match="decode-only"):
         forward(params, cfg, jnp.zeros((2, 4), jnp.int32), cache=cache)
+
+
+def test_paged_causal_chunk_per_row_offsets():
+    """Sq > 1 verify chunks over the page pool: query j of row b sees
+    logical slots <= offset[b] + j (plus the row's mask bound) — matches
+    the dense oracle with the same per-row causal bias. Runs both the
+    Pallas kernel geometry (KD=128) and the gather fallback (KD=32)."""
+    for dh, kv, h in [(64, 2, 4), (16, 2, 4)]:
+        KD = kv * dh
+        Smax, page = (512, 128) if KD >= 128 else (64, 16)
+        L, B, Sq = 2, 3, 4
+        rng = np.random.default_rng(7)
+        k_log = rng.normal(size=(L, B, Smax, KD)).astype(np.float32)
+        v_log = rng.normal(size=(L, B, Smax, KD)).astype(np.float32)
+        q = jnp.asarray(rng.normal(size=(B, Sq, h, dh)), jnp.float32)
+        offs = np.asarray([5, Smax - Sq, page + 3], np.int32)
+        mask = np.zeros((B, Smax), np.int32)
+        for b, o in enumerate(offs):
+            mask[b, : o + Sq] = 1
+        k_pages, v_pages, pt = _paged_from_logical(k_log, v_log, page, rng)
+        layer = 1
+        got = paged_decode(
+            q, jnp.asarray(k_pages), jnp.asarray(v_pages), jnp.asarray(pt),
+            jnp.asarray(mask), layer=layer, num_kv_heads=kv,
+            causal=True, offset=jnp.asarray(offs),
+        )
+        want = multi_head_attention(
+            q,
+            jnp.asarray(k_log[layer]).reshape(B, Smax, kv, dh),
+            jnp.asarray(v_log[layer]).reshape(B, Smax, kv, dh),
+            jnp.asarray(mask), causal=True, offset=jnp.asarray(offs),
+        )
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2,
+            err_msg=f"dh={dh}",
+        )

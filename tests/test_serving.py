@@ -441,15 +441,19 @@ def test_sampling_paged_matches_dense(model):
 # ---- speculative serving ---------------------------------------------------
 
 
-def test_speculative_pool_matches_lockstep_oracle(model):
+@pytest.mark.parametrize("paged", [False, True])
+def test_speculative_pool_matches_lockstep_oracle(model, paged):
     """Speculative serving is parity-exact: ragged requests through the
     prompt-lookup verify pool emit token-for-token what the solo greedy
-    oracle emits, under slot reuse and chunked scheduling."""
+    oracle emits, under slot reuse and chunked scheduling — on the dense
+    AND the paged pool (verify chunks may straddle page boundaries)."""
     cfg, params = model
     reqs = _requests(cfg, [3, 9, 5, 12, 7, 4])
+    kw = dict(paged=True, page_size=8, pool_pages=30) if paged else {}
     eng = ServingEngine(
         cfg, params, max_batch=3, max_len=64, chunk_size=2,
         prompt_buckets=(16,), speculative=True, spec_ngram=2, spec_k=3,
+        **kw,
     )
     _check_parity(cfg, params, eng.run(reqs), reqs)
 
@@ -494,14 +498,36 @@ def test_speculative_doc_cache_continuation(model):
     assert done.token_ids == _oracle(cfg, params, doc + prompt, MAXNEW)
 
 
-def test_speculative_rejects_sampling_and_paged(model):
+def test_speculative_rejects_sampling(model):
     cfg, params = model
     with pytest.raises(ValueError, match="greedy-only"):
         ServingEngine(cfg, params, max_batch=1, max_len=64,
                       sampling=True, speculative=True)
-    with pytest.raises(NotImplementedError):
-        ServingEngine(cfg, params, max_batch=1, max_len=64, paged=True,
-                      page_size=8, speculative=True)
+
+
+def test_speculative_prefix_sharing(model):
+    """Speculation composes with zero-copy prefix pages: requests share
+    one pinned document's pages read-only, seed their lookup corpus with
+    its tokens, and stay token-exact vs the solo full-prompt oracle."""
+    cfg, params = model
+    rng = np.random.default_rng(13)
+    doc = rng.integers(3, cfg.vocab_size, size=11).tolist()
+    prompts = [rng.integers(3, cfg.vocab_size, size=n).tolist()
+               for n in (4, 7, 5)]
+    eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=96, chunk_size=2,
+        prompt_buckets=(16,), paged=True, page_size=16, pool_pages=24,
+        speculative=True, spec_ngram=2, spec_k=3,
+    )
+    eng.register_prefix("doc", _doc_entry(cfg, params, doc))
+    reqs = [Request(input_ids=p, max_new_tokens=MAXNEW,
+                    request_id=f"p{i}", prefix="doc", hist_ids=doc)
+            for i, p in enumerate(prompts)]
+    done = eng.run(reqs)
+    by_id = {c.request_id: c for c in done}
+    for i, p in enumerate(prompts):
+        want = _oracle(cfg, params, doc + p, MAXNEW)
+        assert by_id[f"p{i}"].token_ids == want, (i, by_id[f"p{i}"], want)
 
 
 def test_speculative_int8_pool(model):
