@@ -204,6 +204,39 @@ def bench_serving(cfg, params):
     return tokens / (time.perf_counter() - t0)
 
 
+def bench_spec_serving(cfg, params):
+    """Speculative serving throughput (tok/s): the prompt-lookup verify
+    pool on compressible traffic — 24 requests whose prompts tile a
+    32-token motif (the extractive-RAG shape), outputs 64-192, 8 slots.
+    Measured v5e: 1857 vs 1533 tok/s plain engine at the decode-heavy
+    cell (scripts/exp_serving.py --speculative --workload repetitive)."""
+    from gritlm_tpu.serving import Request, ServingEngine
+
+    rng = np.random.default_rng(7)
+    plens = rng.integers(300, 1500, 24)
+    nnews = rng.integers(64, 192, 24)
+    reqs = []
+    for i, (n, m) in enumerate(zip(plens, nnews)):
+        motif = rng.integers(3, cfg.vocab_size, 32)
+        ids = np.tile(motif, int(n) // 32 + 1)[: int(n)].tolist()
+        reqs.append(Request(input_ids=ids, max_new_tokens=int(m),
+                            request_id=str(i)))
+
+    def go():
+        eng = ServingEngine(
+            cfg, params, max_batch=8, max_len=2048, eos_id=-1,
+            chunk_size=16, prompt_buckets=(512, 1024, 1536),
+            speculative=True, spec_ngram=3, spec_k=7,
+        )
+        done = eng.run(list(reqs))
+        return sum(len(c.token_ids) for c in done)
+
+    go()  # warmup
+    t0 = time.perf_counter()
+    tokens = go()
+    return tokens / (time.perf_counter() - t0)
+
+
 def bench_train(cfg, params):
     import jax
     import jax.numpy as jnp
@@ -279,6 +312,7 @@ def main() -> None:
     decode_ms_w4 = bench_decode(cfg, params, quant=True, weight_quant=4)
     spec_ms = bench_spec_decode(cfg, params)
     serving_tok_s = bench_serving(cfg, params)
+    spec_serving_tok_s = bench_spec_serving(cfg, params)
     train_tok_s = bench_train(cfg, params)
 
     record = {}
@@ -309,6 +343,7 @@ def main() -> None:
     vs_spec = ratchet("spec_decode_ms_per_token", spec_ms,
                       higher_is_better=False)
     vs_srv = ratchet("serving_tokens_per_sec", serving_tok_s)
+    vs_ssrv = ratchet("spec_serving_tokens_per_sec", spec_serving_tok_s)
     vs_tr = ratchet("train_tokens_per_sec", train_tok_s)
     record.update({
         "config": "1B-class bf16",
@@ -346,6 +381,9 @@ def main() -> None:
             {"metric": "serving_tokens_per_sec_ragged24_b8_1b_bf16",
              "value": round(serving_tok_s, 1), "unit": "tokens/s",
              "vs_baseline": vs_srv},
+            {"metric": "spec_serving_tokens_per_sec_rep24_b8_1b_bf16",
+             "value": round(spec_serving_tok_s, 1), "unit": "tokens/s",
+             "vs_baseline": vs_ssrv},
             {"metric": "train_tokens_per_sec_unified_1b_bf16",
              "value": round(train_tok_s, 1), "unit": "tokens/s",
              "vs_baseline": vs_tr},

@@ -545,3 +545,35 @@ def test_speculative_int8_pool(model):
     for r in reqs:
         got = by_id[r.request_id].token_ids
         assert 1 <= len(got) <= MAXNEW
+
+
+def test_moe_pool_matches_lockstep_oracle():
+    """Mixtral (MoE) through the serving pool: routed-expert decode with
+    per-row offsets stays token-exact vs the solo lockstep oracle."""
+    from gritlm_tpu.config import tiny_mixtral
+    from gritlm_tpu.models import init_params as _init
+
+    cfg = tiny_mixtral()
+    params = _init(cfg, jax.random.PRNGKey(0))
+    reqs = _requests(cfg, [3, 9, 5])
+    eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=64, chunk_size=2,
+        prompt_buckets=(16,),
+    )
+    _check_parity(cfg, params, eng.run(reqs), reqs)
+
+
+def test_moe_speculative_pool_matches_oracle():
+    """MoE + speculation: the verify chunk routes S tokens per row through
+    the experts; parity must hold."""
+    from gritlm_tpu.config import tiny_mixtral
+    from gritlm_tpu.models import init_params as _init
+
+    cfg = tiny_mixtral()
+    params = _init(cfg, jax.random.PRNGKey(0))
+    reqs = _requests(cfg, [4, 7], seed=2)
+    eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=64, chunk_size=2,
+        prompt_buckets=(16,), speculative=True, spec_ngram=2, spec_k=3,
+    )
+    _check_parity(cfg, params, eng.run(reqs), reqs)
