@@ -135,6 +135,20 @@ class _Slot:
     first_src: Optional[Tuple[jax.Array, int]] = None
 
 
+@dataclass
+class _Pending:
+    """A chunked prefill in flight: the request holds its reserved slot
+    (and pages) while its prompt streams in `prefill_chunk`-token chunks
+    between decode chunks."""
+    request: Request
+    slot: int
+    cache: object  # [.., 1, bucket, ..] row KVCache, filled incrementally
+    bucket: int
+    filled: int = 0
+    first: Optional[jax.Array] = None  # last chunk's next-token, [1]
+    pids: Optional[List[int]] = None  # reserved pages (paged pools)
+
+
 def _bucket(n: int, buckets: Sequence[int]) -> int:
     for b in buckets:
         if n <= b:
@@ -231,6 +245,29 @@ def _prefill_program(params, cfg, ids, mask, samp_rows=None, *,
     logits = logits_from_hidden(params, cfg, h_last)[:, 0]
     if samp_rows is not None:
         return cache, _sample_rows(logits, samp_rows)
+    return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "chunk"), donate_argnums=(2,))
+def _prefill_chunk_program(params, cfg, cache, ids, mask, samp_row=None, *,
+                           chunk):
+    """ONE chunk of a chunked prefill (stall-free admission): append
+    `chunk` prompt tokens to a single request's row cache (its write
+    offset rides cache.length, so chunks just chain) and return the
+    greedy/sampled next token off the chunk's LAST VALID position — the
+    scheduler keeps only the final chunk's, where it is the request's
+    first generated token. Bounding admission work per scheduler step to
+    one chunk keeps in-flight rows' time-between-tokens flat while long
+    prompts stream in (the Sarathi-Serve insight, re-built on static
+    XLA shapes: every chunk is the same [1, chunk] executable)."""
+    hidden, cache, _ = forward(
+        params, cfg, ids, attention_mask=mask, causal=True, cache=cache
+    )
+    last = jnp.maximum(jnp.sum(mask, axis=1) - 1, 0)  # [1]
+    h_last = jnp.take_along_axis(hidden, last[:, None, None], axis=1)
+    logits = logits_from_hidden(params, cfg, h_last)[:, 0]
+    if samp_row is not None:
+        return cache, _sample_rows(logits, samp_row)
     return cache, jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
@@ -632,6 +669,7 @@ class ServingEngine:
         speculative: bool = False,
         spec_ngram: int = 3,
         spec_k: int = 7,
+        prefill_chunk: Optional[int] = None,
     ):
         self.cfg = cfg
         self.B = max_batch
@@ -642,12 +680,21 @@ class ServingEngine:
         self.speculative = speculative
         self.spec_ngram = spec_ngram
         self.spec_k = spec_k
+        self.prefill_chunk = prefill_chunk
         if speculative and sampling:
             raise ValueError(
                 "speculative serving is greedy-only (it must be "
                 "parity-exact with the greedy decode)"
             )
         self.buckets = [b for b in prompt_buckets if b <= max_len]
+        if prefill_chunk is not None:
+            bad = [b for b in self.buckets if b % prefill_chunk]
+            if bad:
+                raise ValueError(
+                    f"prefill_chunk {prefill_chunk} must divide every "
+                    f"prompt bucket (got {bad}): a prompt's chunk count "
+                    "must fit its row cache exactly"
+                )
         self.overlap = overlap
         self.paged = paged
         self.page = page_size
@@ -740,6 +787,7 @@ class ServingEngine:
         self.slots: Dict[int, _Slot] = {}
         self.queue: List[Request] = []
         self.finished: List[Completion] = []
+        self._pending: List[_Pending] = []  # chunked prefills in flight
         self._prev = None  # in-flight chunk's (toks, emitted) device arrays
         self._steps = 0  # device decode steps taken (for stats)
 
@@ -889,7 +937,9 @@ class ServingEngine:
         return 0
 
     def _admit(self) -> None:
-        free = [i for i in range(self.B) if i not in self.slots]
+        reserved = {p.slot for p in self._pending}
+        free = [i for i in range(self.B)
+                if i not in self.slots and i not in reserved]
         taken: List[tuple] = []  # (request, private page ids | None)
         while self.queue and len(taken) < len(free):
             r = self.queue[0]
@@ -902,6 +952,27 @@ class ServingEngine:
             taken.append((self.queue.pop(0), pids))
         if not taken:
             return
+        if self.prefill_chunk is not None:
+            # stall-free admission: fresh prompts stream in chunks between
+            # decode chunks instead of one monolithic prefill. Doc-cache /
+            # prefix continuations keep the grouped path (their dominant
+            # cost, the document, is already precomputed).
+            rest = []
+            for r, pids in taken:
+                if r.doc_cache is None and r.prefix is None:
+                    slot = free.pop(0)
+                    b = _bucket(len(r.input_ids), self.buckets)
+                    self._pending.append(_Pending(
+                        request=r, slot=slot,
+                        cache=init_cache(self.cfg, 1, b,
+                                         quant=self.kv_quant),
+                        bucket=b, pids=pids,
+                    ))
+                else:
+                    rest.append((r, pids))
+            taken = rest
+            if not taken:
+                return
         groups: Dict[tuple, List[tuple]] = {}
         for r, pids in taken:
             b = _bucket(len(r.input_ids), self.buckets)
@@ -973,6 +1044,55 @@ class ServingEngine:
                         eos_id=self.eos_id,
                     )
                 self.slots[slot] = _Slot(request=r, first_src=(firsts, j))
+
+    def _advance_pending(self) -> None:
+        """Advance the oldest chunked prefill by ONE chunk (bounding the
+        admission work a scheduler step can insert between decode chunks)
+        and fold it into its reserved slot when the prompt completes."""
+        if not self._pending:
+            return
+        p = self._pending[0]
+        C = self.prefill_chunk
+        seg = p.request.input_ids[p.filled : p.filled + C]
+        ids = np.full((1, C), self.pad_id, np.int32)
+        mask = np.zeros((1, C), np.int32)
+        ids[0, : len(seg)] = seg
+        mask[0, : len(seg)] = 1
+        samp = self._samp_rows_for([p.request], 1) if self.sampling else None
+        p.cache, p.first = _prefill_chunk_program(
+            self.params, self.cfg, p.cache, jnp.asarray(ids),
+            jnp.asarray(mask), samp, chunk=C,
+        )
+        p.filled += len(seg)
+        if p.filled >= len(p.request.input_ids):
+            self._pending.pop(0)
+            self._insert_pending(p)
+
+    def _insert_pending(self, p: _Pending) -> None:
+        r = p.request
+        write_len = len(r.input_ids)
+        if self.paged:
+            maxp = self.max_len // self.page
+            table = np.zeros(maxp, np.int32)
+            table[: len(p.pids)] = p.pids
+            self._slot_pages[p.slot] = p.pids
+            self.carry = _insert_paged_program(
+                self.carry, p.cache, p.first, jnp.int32(0),
+                jnp.int32(p.slot), jnp.asarray(table),
+                jnp.int32(write_len), jnp.int32(write_len),
+                jnp.int32(r.max_new_tokens), self._req_samp_scalars(r),
+                self._req_hist_row(r), copy_from_page=0,
+                eos_id=self.eos_id,
+            )
+        else:
+            self.carry = _insert_program(
+                self.carry, p.cache, p.first, jnp.int32(0),
+                jnp.int32(p.slot), jnp.int32(write_len),
+                jnp.int32(write_len), jnp.int32(r.max_new_tokens),
+                self._req_samp_scalars(r), self._req_hist_row(r),
+                eos_id=self.eos_id,
+            )
+        self.slots[p.slot] = _Slot(request=r, first_src=(p.first, 0))
 
     def _prefill_continue_prefix(self, rs, ids, mask, dbucket, bucket, rows,
                                  samp_rows=None):
@@ -1117,6 +1237,8 @@ class ServingEngine:
             self._process(self._prev)
             self._prev = None
         self._admit()
+        if self.prefill_chunk is not None:
+            self._advance_pending()
         n_active = len(self.slots)
         cur = None
         if self.slots:
@@ -1146,7 +1268,8 @@ class ServingEngine:
         order."""
         for r in requests:
             self.submit(r)
-        while self.queue or self.slots or self._prev is not None:
+        while (self.queue or self.slots or self._pending
+               or self._prev is not None):
             self.step()
         out, self.finished = self.finished, []
         return out

@@ -44,6 +44,10 @@ def main():
                     "(the extractive-RAG-like case speculation targets)")
     ap.add_argument("--new_lo", type=int, default=16)
     ap.add_argument("--new_hi", type=int, default=128)
+    ap.add_argument("--prefill_chunk", type=int, default=None,
+                    help="also run the engine with chunked (stall-free) "
+                    "prefill and report per-step time stats — the stall "
+                    "a monolithic prefill inserts between decode chunks")
     args = ap.parse_args()
 
     from __graft_entry__ import _bench_config
@@ -113,7 +117,7 @@ def main():
         paged_kw = dict(paged=True, page_size=256,
                         pool_pages=args.pool_pages)
 
-    def engine_run(speculative=False):
+    def engine_run(speculative=False, prefill_chunk=None, want_steps=False):
         spec_kw = {}
         if speculative:
             spec_kw = dict(speculative=True, spec_k=args.spec_k,
@@ -122,7 +126,22 @@ def main():
             cfg, params, max_batch=B, max_len=max_len,
             kv_quant=args.kv_quant, eos_id=-1, chunk_size=args.chunk,
             prompt_buckets=(256, 512, 1024, 1536), **paged_kw, **spec_kw,
+            prefill_chunk=prefill_chunk,
         )
+        if want_steps:
+            # per-step wall times: each step dispatches one decode chunk,
+            # so a long monolithic prefill shows up as a step-time spike
+            # (= the time-between-tokens stall in-flight rows see)
+            for r in reqs:
+                eng.submit(r)
+            durs = []
+            while eng.queue or eng.slots or eng._pending or \
+                    eng._prev is not None:
+                t0 = time.perf_counter()
+                eng.step()
+                durs.append(time.perf_counter() - t0)
+            done = eng.finished
+            return sum(len(c.token_ids) for c in done), eng._steps, durs
         done = eng.run(list(reqs))
         return sum(len(c.token_ids) for c in done), eng._steps
 
@@ -151,6 +170,19 @@ def main():
               f"= {spec_tokens/spec_s:.1f} tok/s  ({spec_steps} verify "
               f"iters, {spec_tokens/spec_steps:.2f} useful tokens/iter)")
         print(f"spec vs engine: {(spec_tokens/spec_s)/(eng_tokens/eng_s):.2f}x")
+
+    if args.prefill_chunk is not None:
+        def stall_stats(durs):
+            d = np.sort(np.asarray(durs)) * 1e3
+            return (f"steps={len(d)} p50={d[len(d)//2]:.0f}ms "
+                    f"p95={d[int(len(d)*0.95)]:.0f}ms max={d[-1]:.0f}ms")
+
+        for label, pc in (("monolithic", None), ("chunked", args.prefill_chunk)):
+            engine_run(prefill_chunk=pc, want_steps=True)  # warmup
+            toks, _, durs = engine_run(prefill_chunk=pc, want_steps=True)
+            total = sum(durs)
+            print(f"{label:>10} prefill: {toks/total:.1f} tok/s, "
+                  f"step times {stall_stats(durs)}")
 
 
 if __name__ == "__main__":

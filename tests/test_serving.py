@@ -577,3 +577,81 @@ def test_moe_speculative_pool_matches_oracle():
         prompt_buckets=(16,), speculative=True, spec_ngram=2, spec_k=3,
     )
     _check_parity(cfg, params, eng.run(reqs), reqs)
+
+
+# ---- chunked prefill -------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "paged,speculative",
+    [(False, False), (True, False), (False, True)],
+)
+def test_chunked_prefill_matches_oracle(model, paged, speculative):
+    """Stall-free admission: prompts stream in prefill_chunk-token chunks
+    between decode chunks; completions stay token-exact vs the solo
+    oracle on dense, paged, and speculative pools."""
+    cfg, params = model
+    reqs = _requests(cfg, [3, 9, 5, 12, 7])
+    kw = {}
+    if paged:
+        kw = dict(paged=True, page_size=8, pool_pages=30)
+    if speculative:
+        kw.update(speculative=True, spec_ngram=2, spec_k=3)
+    eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=64, chunk_size=2,
+        prompt_buckets=(16,), prefill_chunk=4, **kw,
+    )
+    _check_parity(cfg, params, eng.run(reqs), reqs)
+
+
+def test_chunked_prefill_mixed_with_doc_continuation(model):
+    """Doc-cache continuations keep the grouped prefill while fresh
+    prompts chunk — both correct in one pool."""
+    cfg, params = model
+    rng = np.random.default_rng(21)
+    doc = rng.integers(3, cfg.vocab_size, size=9).tolist()
+    prompt = rng.integers(3, cfg.vocab_size, size=5).tolist()
+    dreq = Request(input_ids=prompt, max_new_tokens=MAXNEW,
+                   request_id="doc", doc_cache=_doc_entry(cfg, params, doc))
+    fresh = _requests(cfg, [11], seed=22)
+    fresh[0].request_id = "fresh"
+    eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=64, chunk_size=2,
+        prompt_buckets=(16,), prefill_chunk=4,
+    )
+    done = eng.run([dreq] + fresh)
+    by_id = {c.request_id: c for c in done}
+    assert by_id["doc"].token_ids == _oracle(cfg, params, doc + prompt,
+                                             MAXNEW)
+    assert by_id["fresh"].token_ids == _oracle(
+        cfg, params, fresh[0].input_ids, MAXNEW)
+
+
+def test_chunked_prefill_sampling_schedule_invariant(model):
+    """Sampled streams are identical with and without chunked prefill —
+    the first token draws from the same per-request key chain at the
+    same logits, so admission strategy cannot change outputs."""
+    cfg, params = model
+    rng = np.random.default_rng(23)
+    reqs = lambda: [
+        Request(input_ids=rng.integers(3, cfg.vocab_size, size=n).tolist(),
+                max_new_tokens=MAXNEW, request_id=f"s{i}",
+                temperature=0.9, top_p=0.9, seed=40 + i)
+        for i, n in enumerate([5, 11, 7])
+    ]
+    rng = np.random.default_rng(23)
+    a = ServingEngine(cfg, params, max_batch=2, max_len=64, chunk_size=2,
+                      prompt_buckets=(16,), sampling=True).run(reqs())
+    rng = np.random.default_rng(23)
+    b = ServingEngine(cfg, params, max_batch=2, max_len=64, chunk_size=2,
+                      prompt_buckets=(16,), sampling=True,
+                      prefill_chunk=4).run(reqs())
+    assert ({c.request_id: c.token_ids for c in a}
+            == {c.request_id: c.token_ids for c in b})
+
+
+def test_chunked_prefill_requires_divisible_buckets(model):
+    cfg, params = model
+    with pytest.raises(ValueError, match="must divide"):
+        ServingEngine(cfg, params, max_batch=1, max_len=64,
+                      prompt_buckets=(16,), prefill_chunk=5)
