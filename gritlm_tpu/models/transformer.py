@@ -135,7 +135,32 @@ def _mm(x: jax.Array, node) -> jax.Array:
     """x @ kernel-leaf. int4 serving leaves route through the fused Pallas
     w4a16 matmul (ops/quant_matmul) when the row count is decode-shaped, so
     HBM streams only packed nibbles (0.5 bytes/weight); every other leaf
-    kind materializes one layer's bf16 weights via _w."""
+    kind materializes one layer's bf16 weights via _w.
+
+    Stacked multi-adapter leaves ({"w", "As" [n, in, r], "Bs" [n, r, out],
+    "aid" [B]} — training/lora.stack_adapters + set_adapter_ids) add each
+    batch row's OWN adapter's low-rank delta: one pool serves any mix of
+    LoRA fine-tunes over shared base weights (serving.py). The gathered
+    per-row factors are tiny ([B, D, r]), so the delta costs two thin
+    einsums on top of the shared base matmul."""
+    if isinstance(node, dict) and "As" in node:
+        y = _mm(x, node["w"])
+        if "aid" not in node:
+            raise ValueError(
+                "stacked-adapter leaf reached _mm without adapter ids — "
+                "call lora.set_adapter_ids(params, aid, L) first"
+            )
+        if x.ndim != 3:
+            raise NotImplementedError(
+                "multi-adapter leaves need [B, S, D] activations "
+                "(dense serving paths only)"
+            )
+        A = jnp.take(node["As"], node["aid"], axis=0)  # [B, in, r]
+        Bm = jnp.take(node["Bs"], node["aid"], axis=0)  # [B, r, out]
+        xr = jnp.einsum("bsd,bdr->bsr", x.astype(jnp.float32),
+                        A.astype(jnp.float32))
+        delta = jnp.einsum("bsr,bro->bso", xr, Bm.astype(jnp.float32))
+        return y + delta.astype(y.dtype)
     if isinstance(node, dict) and "q4" in node:
         from gritlm_tpu.ops.quant_matmul import w4a16_matmul
 

@@ -116,6 +116,9 @@ class Request:
     # quote, so seeding the prompt-lookup corpus with them is where
     # speculation pays). Ignored by non-speculative engines.
     hist_ids: Optional[List[int]] = None
+    # multi-adapter pools (ServingEngine(adapters=...)): which LoRA
+    # fine-tune this request decodes with; None = the plain base model
+    adapter: Optional[str] = None
 
 
 @dataclass
@@ -221,14 +224,25 @@ def _hist_init(max_batch: int, hist_width: int):
 # The carry is donated everywhere, so the pool updates in place.
 # row_lens is the cache WRITE SLOT, row_pos the RoPE position — they
 # differ for doc-cache continuation rows, where the document occupies
-# slots [0, dbucket) but only positions [0, doc_len).
+# slots [0, dbucket) but only positions [0, doc_len). A 9th element,
+# aid [B] int32, names each row's LoRA adapter in multi-adapter pools
+# (0 = base; grafted into the stacked {"w","As","Bs"} leaves inside each
+# program) — dead weight elsewhere.
+
+
+def _with_adapters(params, cfg, aid):
+    """Graft per-row adapter ids into stacked multi-LoRA leaves (no-op
+    tree walk for plain param trees)."""
+    from gritlm_tpu.training.lora import set_adapter_ids
+
+    return set_adapter_ids(params, aid, cfg.num_hidden_layers)
 
 
 @functools.partial(
     jax.jit, static_argnames=("cfg", "bucket", "rows", "quant")
 )
-def _prefill_program(params, cfg, ids, mask, samp_rows=None, *,
-                     bucket, rows, quant):
+def _prefill_program(params, cfg, ids, mask, samp_rows=None, aid_rows=None,
+                     *, bucket, rows, quant):
     """[rows, bucket] right-padded prompts → (row-batch KVCache, first
     token per row — greedy, or per-row sampled at fold index 0 when
     `samp_rows` carries sampling state). Row caches are slot-dense
@@ -236,6 +250,8 @@ def _prefill_program(params, cfg, ids, mask, samp_rows=None, *,
     (rows is padded to a power of two so a handful of executables cover
     any admission batch; all-pad dummy rows produce garbage that is
     never inserted)."""
+    if aid_rows is not None:
+        params = _with_adapters(params, cfg, aid_rows)
     cache = init_cache(cfg, rows, bucket, quant=quant)
     hidden, cache, _ = forward(
         params, cfg, ids, attention_mask=mask, causal=True, cache=cache
@@ -249,8 +265,8 @@ def _prefill_program(params, cfg, ids, mask, samp_rows=None, *,
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "chunk"), donate_argnums=(2,))
-def _prefill_chunk_program(params, cfg, cache, ids, mask, samp_row=None, *,
-                           chunk):
+def _prefill_chunk_program(params, cfg, cache, ids, mask, samp_row=None,
+                           aid_row=None, *, chunk):
     """ONE chunk of a chunked prefill (stall-free admission): append
     `chunk` prompt tokens to a single request's row cache (its write
     offset rides cache.length, so chunks just chain) and return the
@@ -260,6 +276,8 @@ def _prefill_chunk_program(params, cfg, cache, ids, mask, samp_row=None, *,
     one chunk keeps in-flight rows' time-between-tokens flat while long
     prompts stream in (the Sarathi-Serve insight, re-built on static
     XLA shapes: every chunk is the same [1, chunk] executable)."""
+    if aid_row is not None:
+        params = _with_adapters(params, cfg, aid_row)
     hidden, cache, _ = forward(
         params, cfg, ids, attention_mask=mask, causal=True, cache=cache
     )
@@ -276,7 +294,8 @@ def _prefill_chunk_program(params, cfg, cache, ids, mask, samp_row=None, *,
 )
 def _prefill_continue_program(params, cfg, doc_k, doc_v, doc_scales,
                               doc_mask, doc_lens, ids, mask,
-                              samp_rows=None, *, dbucket, bucket, rows):
+                              samp_rows=None, aid_rows=None, *,
+                              dbucket, bucket, rows):
     """Cache-continuation prefill: documents' precomputed K/V occupy
     slots [0, dbucket) (each row valid to its own doc_len), the prompt
     prefills at slots [dbucket, dbucket+bucket) with RoPE positions
@@ -304,6 +323,8 @@ def _prefill_continue_program(params, cfg, doc_k, doc_v, doc_scales,
                            doc_scales[1].dtype)], axis=3),
         ) if quant else {}),
     )
+    if aid_rows is not None:
+        params = _with_adapters(params, cfg, aid_rows)
     positions = doc_lens[:, None] + jnp.arange(bucket)[None, :]
     hidden, cache, _ = forward(
         params, cfg, ids, attention_mask=mask, causal=True,
@@ -346,14 +367,15 @@ def _arm_samp(samp, slot, req_samp):
 @functools.partial(jax.jit, donate_argnums=(0,), static_argnames=("eos_id",))
 def _insert_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
                     write_len, pos0, max_new, req_samp=None, req_hist=None,
-                    *, eos_id):
+                    req_aid=None, *, eos_id):
     """Fold prefilled row `row_idx` into pool slot `slot`: copy its K/V
     and mask (zero-extended to the pool width), and arm the decode
     carry — pending token = the prefill's first sample, write slot =
     `write_len`, RoPE position = `pos0`, budget = max_new - 1 (the first
     token is already spent). The carry is donated, so the update is in
     place and chains between in-flight decode chunks."""
-    tok, cache, row_lens, row_pos, active, remaining, samp, hist = carry
+    (tok, cache, row_lens, row_pos, active, remaining, samp, hist,
+     aid) = carry
 
     def put(pool, batch, axis_b=1):
         row = jax.lax.dynamic_slice_in_dim(batch, row_idx, 1, axis=axis_b)
@@ -388,7 +410,10 @@ def _insert_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
         samp = _arm_samp(samp, slot, req_samp)
     if req_hist is not None:
         hist = _arm_hist(hist, slot, req_hist, first)
-    return tok, cache, row_lens, row_pos, active, remaining, samp, hist
+    if req_aid is not None:
+        aid = aid.at[slot].set(req_aid)
+    return (tok, cache, row_lens, row_pos, active, remaining, samp,
+            hist, aid)
 
 
 @functools.partial(
@@ -397,13 +422,14 @@ def _insert_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
 )
 def _insert_paged_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
                           table_row, write_len, pos0, max_new,
-                          req_samp=None, req_hist=None, *,
+                          req_samp=None, req_hist=None, req_aid=None, *,
                           copy_from_page, eos_id):
     """Paged insert: scatter prefilled row `row_idx`'s pages into the pool
     pages named by `table_row` (static page indices `copy_from_page`
     onward — a prefix request's shared document pages are NOT copied),
     install the row's page table and logical mask, and arm the carry."""
-    tok, cache, row_lens, row_pos, active, remaining, samp, hist = carry
+    (tok, cache, row_lens, row_pos, active, remaining, samp, hist,
+     aid) = carry
     page = cache.page_size
     W = rows_cache.max_len
     L = cache.k.shape[0]
@@ -453,7 +479,10 @@ def _insert_paged_program(carry, rows_cache: KVCache, firsts, row_idx, slot,
         samp = _arm_samp(samp, slot, req_samp)
     if req_hist is not None:
         hist = _arm_hist(hist, slot, req_hist, first)
-    return tok, cache, row_lens, row_pos, active, remaining, samp, hist
+    if req_aid is not None:
+        aid = aid.at[slot].set(req_aid)
+    return (tok, cache, row_lens, row_pos, active, remaining, samp,
+            hist, aid)
 
 
 @functools.partial(jax.jit, donate_argnums=(0,))
@@ -461,7 +490,8 @@ def _write_prefix_program(carry, chunks_k, chunks_v, sk, sv, pids):
     """Pin a precomputed cache into pool pages: chunks [L, n, page, KD]
     (host-staged, page-aligned) written to physical pages `pids` [n].
     Scales [L, n, Kv, page] for int8 pools. Runs once per prefix."""
-    tok, cache, row_lens, row_pos, active, remaining, samp, hist = carry
+    (tok, cache, row_lens, row_pos, active, remaining, samp, hist,
+     aid) = carry
     k, v = cache.k, cache.v
     k_sc, v_sc = cache.k_scale, cache.v_scale
     n = chunks_k.shape[1]
@@ -478,7 +508,8 @@ def _write_prefix_program(carry, chunks_k, chunks_v, sk, sv, pids):
                 v_sc, sv[:, j:j + 1], (0, pid, 0, 0))
     scales = (dict(k_scale=k_sc, v_scale=v_sc) if cache.quantized else {})
     cache = cache._replace(k=k, v=v, **scales)
-    return (tok, cache, row_lens, row_pos, active, remaining, samp, hist)
+    return (tok, cache, row_lens, row_pos, active, remaining, samp,
+            hist, aid)
 
 
 @functools.partial(jax.jit, static_argnames=("quant",))
@@ -515,9 +546,11 @@ def _decode_chunk_program(params, cfg, carry, *, steps, eos_id, pad_id,
     exhausts its token budget, so the host only intervenes at chunk
     boundaries. Returns the final carry plus stacked (tokens, emitted)
     [steps, B]."""
+    params = _with_adapters(params, cfg, carry[8])  # per-row LoRA ids
 
     def body(c, _):
-        tok, cache, row_lens, row_pos, active, remaining, samp, hist = c
+        (tok, cache, row_lens, row_pos, active, remaining, samp, hist,
+         aid) = c
         hidden, cache, _ = forward(
             params, cfg, tok[:, None], causal=True,
             attention_mask=active[:, None].astype(jnp.int32),
@@ -540,7 +573,7 @@ def _decode_chunk_program(params, cfg, carry, *, steps, eos_id, pad_id,
         remaining = remaining - adv
         active = active & (nxt != eos_id) & (remaining > 0)
         return ((nxt, cache, row_lens, row_pos, active, remaining, samp,
-                 hist), (nxt, emitted))
+                 hist, aid), (nxt, emitted))
 
     carry, (toks, emitted) = jax.lax.scan(body, carry, None, length=steps)
     return carry, toks, emitted
@@ -565,8 +598,11 @@ def _spec_chunk_program(params, cfg, carry, *, steps, ngram, k, eos_id,
     stacked (tokens [steps, B, k+1], n_emit [steps, B])."""
     from gritlm_tpu.spec_decode import _lookup_proposals
 
+    params = _with_adapters(params, cfg, carry[8])  # per-row LoRA ids
+
     def body(c, _):
-        tok, cache, row_lens, row_pos, active, remaining, samp, hist = c
+        (tok, cache, row_lens, row_pos, active, remaining, samp, hist,
+         aid) = c
         history, hist_len = hist
         B = tok.shape[0]
         j = jnp.arange(k + 1)[None, :]
@@ -629,7 +665,7 @@ def _spec_chunk_program(params, cfg, carry, *, steps, ngram, k, eos_id,
         active = active & jnp.logical_not(hit_eos) & (remaining > 0)
         out_tok = jnp.where(valid, emit_tok, pad_id)
         return ((new_tok, cache, row_lens, row_pos, active, remaining,
-                 samp, (history, hist_len)), (out_tok, n_emit))
+                 samp, (history, hist_len), aid), (out_tok, n_emit))
 
     carry, (toks, n_emit) = jax.lax.scan(body, carry, None, length=steps)
     return carry, toks, n_emit
@@ -670,6 +706,8 @@ class ServingEngine:
         spec_ngram: int = 3,
         spec_k: int = 7,
         prefill_chunk: Optional[int] = None,
+        adapters=None,  # {name: lora_tree} — per-request LoRA serving
+        lora_scale: float = 4.0,  # alpha/r of the adapter trees
     ):
         self.cfg = cfg
         self.B = max_batch
@@ -681,6 +719,23 @@ class ServingEngine:
         self.spec_ngram = spec_ngram
         self.spec_k = spec_k
         self.prefill_chunk = prefill_chunk
+        self._adapter_idx: Dict[str, int] = {}
+        if adapters:
+            # stack every adapter onto the base as {"w","As","Bs"} leaves
+            # (slot 0 = zero adapter, so base-model requests cost no
+            # branch); per-row ids ride the carry and are grafted into
+            # the leaves inside each program (lora.set_adapter_ids)
+            from gritlm_tpu.training.lora import stack_adapters
+
+            if mesh is not None:
+                raise NotImplementedError(
+                    "multi-adapter serving is single-chip for now"
+                )
+            names = list(adapters)
+            self._adapter_idx = {n: i + 1 for i, n in enumerate(names)}
+            params = stack_adapters(
+                params, [adapters[n] for n in names], lora_scale
+            )
         if speculative and sampling:
             raise ValueError(
                 "speculative serving is greedy-only (it must be "
@@ -783,6 +838,7 @@ class ServingEngine:
                 for x in _hist_init(max_batch,
                                     max_len if speculative else 1)
             ),
+            _put_vec(np.zeros(max_batch, np.int32)),  # adapter ids
         )
         self.slots: Dict[int, _Slot] = {}
         self.queue: List[Request] = []
@@ -878,6 +934,21 @@ class ServingEngine:
             jnp.asarray(keys), jnp.zeros(rows, jnp.int32),
         )
 
+    def _req_aid(self, r: Request):
+        """This request's adapter slot (None in adapter-less pools so the
+        compiled programs stay unchanged; 0 = base model)."""
+        if not self._adapter_idx:
+            return None
+        return jnp.int32(self._adapter_idx.get(r.adapter, 0))
+
+    def _aid_rows_for(self, rs, rows):
+        if not self._adapter_idx:
+            return None
+        out = np.zeros(rows, np.int32)
+        for j, r in enumerate(rs):
+            out[j] = self._adapter_idx.get(r.adapter, 0)
+        return jnp.asarray(out)
+
     def _req_hist_row(self, r: Request):
         """One request's compact prompt as a pool-width history row (the
         prompt-lookup corpus; generated tokens append on device). None in
@@ -897,6 +968,11 @@ class ServingEngine:
         if req.temperature > 0.0 and not self.sampling:
             raise ValueError(
                 "temperature > 0 requires ServingEngine(sampling=True)"
+            )
+        if req.adapter is not None and req.adapter not in self._adapter_idx:
+            raise ValueError(
+                f"unknown adapter {req.adapter!r} (build the engine with "
+                "adapters={name: lora_tree, ...})"
             )
         if req.prefix is not None:
             if not self.paged or req.prefix not in self.prefixes:
@@ -996,19 +1072,22 @@ class ServingEngine:
                 ids[j, :n] = r.input_ids
                 mask[j, :n] = 1
             samp_rows = self._samp_rows_for(rs, rows)
+            aid_rows = self._aid_rows_for(rs, rows)
             if kind == "fresh":
                 rowc, firsts = _prefill_program(
                     self.params, self.cfg, self._put_rows(ids),
-                    self._put_rows(mask), samp_rows, bucket=bucket,
-                    rows=rows, quant=self.kv_quant,
+                    self._put_rows(mask), samp_rows, aid_rows,
+                    bucket=bucket, rows=rows, quant=self.kv_quant,
                 )
             elif kind == "host":
                 rowc, firsts = self._prefill_continue(
-                    rs, ids, mask, dbucket, bucket, rows, samp_rows
+                    rs, ids, mask, dbucket, bucket, rows, samp_rows,
+                    aid_rows,
                 )
             else:
                 rowc, firsts = self._prefill_continue_prefix(
-                    rs, ids, mask, dbucket, bucket, rows, samp_rows
+                    rs, ids, mask, dbucket, bucket, rows, samp_rows,
+                    aid_rows,
                 )
             firsts.copy_to_host_async()
             for j, (r, pids) in enumerate(rps):
@@ -1031,6 +1110,7 @@ class ServingEngine:
                         jnp.int32(write_len), jnp.int32(pos0),
                         jnp.int32(r.max_new_tokens),
                         self._req_samp_scalars(r), self._req_hist_row(r),
+                        self._req_aid(r),
                         copy_from_page=(dbucket // self.page
                                         if kind == "prefix" else 0),
                         eos_id=self.eos_id,
@@ -1041,6 +1121,7 @@ class ServingEngine:
                         jnp.int32(slot), jnp.int32(write_len),
                         jnp.int32(pos0), jnp.int32(r.max_new_tokens),
                         self._req_samp_scalars(r), self._req_hist_row(r),
+                        self._req_aid(r),
                         eos_id=self.eos_id,
                     )
                 self.slots[slot] = _Slot(request=r, first_src=(firsts, j))
@@ -1061,7 +1142,8 @@ class ServingEngine:
         samp = self._samp_rows_for([p.request], 1) if self.sampling else None
         p.cache, p.first = _prefill_chunk_program(
             self.params, self.cfg, p.cache, jnp.asarray(ids),
-            jnp.asarray(mask), samp, chunk=C,
+            jnp.asarray(mask), samp, self._aid_rows_for([p.request], 1),
+            chunk=C,
         )
         p.filled += len(seg)
         if p.filled >= len(p.request.input_ids):
@@ -1081,7 +1163,7 @@ class ServingEngine:
                 jnp.int32(p.slot), jnp.asarray(table),
                 jnp.int32(write_len), jnp.int32(write_len),
                 jnp.int32(r.max_new_tokens), self._req_samp_scalars(r),
-                self._req_hist_row(r), copy_from_page=0,
+                self._req_hist_row(r), self._req_aid(r), copy_from_page=0,
                 eos_id=self.eos_id,
             )
         else:
@@ -1090,12 +1172,13 @@ class ServingEngine:
                 jnp.int32(p.slot), jnp.int32(write_len),
                 jnp.int32(write_len), jnp.int32(r.max_new_tokens),
                 self._req_samp_scalars(r), self._req_hist_row(r),
+                self._req_aid(r),
                 eos_id=self.eos_id,
             )
         self.slots[p.slot] = _Slot(request=r, first_src=(p.first, 0))
 
     def _prefill_continue_prefix(self, rs, ids, mask, dbucket, bucket, rows,
-                                 samp_rows=None):
+                                 samp_rows=None, aid_rows=None):
         """Gather the group's shared prefix pages (device-side, zero host
         traffic) into the dense doc arrays the continuation prefill eats."""
         npg = dbucket // self.page
@@ -1115,11 +1198,11 @@ class ServingEngine:
             self.params, self.cfg, dk, dv, sc,
             jnp.asarray(doc_mask), jnp.asarray(dl),
             self._put_rows(ids), self._put_rows(mask), samp_rows,
-            dbucket=dbucket, bucket=bucket, rows=rows,
+            aid_rows, dbucket=dbucket, bucket=bucket, rows=rows,
         )
 
     def _prefill_continue(self, rs, ids, mask, dbucket, bucket, rows,
-                          samp_rows=None):
+                          samp_rows=None, aid_rows=None):
         """Stack the group's host doc caches into [L, rows, dbucket, ...]
         arrays and run the cache-continuation prefill."""
         L = rs[0].doc_cache[0].shape[0]
@@ -1148,7 +1231,7 @@ class ServingEngine:
             self.params, self.cfg, jnp.asarray(doc_k), jnp.asarray(doc_v),
             scales, jnp.asarray(doc_mask), jnp.asarray(doc_lens),
             self._put_rows(ids), self._put_rows(mask), samp_rows,
-            dbucket=dbucket, bucket=bucket, rows=rows,
+            aid_rows, dbucket=dbucket, bucket=bucket, rows=rows,
         )
 
     def _maybe_finish(self, slot: int, tok: int) -> None:

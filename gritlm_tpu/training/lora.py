@@ -91,6 +91,76 @@ def apply_lora_lazy(params: dict, lora: Dict, scale: float) -> dict:
     return walk(params, lora)
 
 
+def stack_adapters(
+    params: dict, adapters: Sequence[Dict], scale: float
+) -> dict:
+    """Multi-LoRA serving (S-LoRA style): stack N adapter trees onto the
+    base params as `{"w": base, "As": [L, n+1, in, r], "Bs": [L, n+1, r,
+    out]}` leaves — slot 0 is the ZERO adapter (requests without an
+    adapter resolve to the plain base with no conditionals), slot i+1 is
+    adapters[i]. Bs are pre-scaled by alpha/r. The serving programs graft
+    per-row adapter ids into these leaves (`set_adapter_ids`) and
+    models/transformer._mm applies W·x + B[aid]ᵀ(A[aid]ᵀx) per batch row,
+    so one pool serves any mix of fine-tunes over one set of base
+    weights. All adapters must share rank and targets (one stacked shape
+    per leaf). The reference's PEFT path loads ONE adapter per process
+    (gritlm/training/run.py:217-284)."""
+
+    def walk(p_node, l_nodes):
+        if not isinstance(p_node, dict) or "q8" in p_node or "q4" in p_node:
+            return p_node
+        out = {}
+        for k, v in p_node.items():
+            lns = [ln.get(k) if isinstance(ln, dict) else None
+                   for ln in l_nodes]
+            adapted = [isinstance(ln, dict) and "A" in ln for ln in lns]
+            if any(adapted) and not all(adapted):
+                raise ValueError(
+                    f"adapters disagree on target {k}: stacked serving "
+                    "needs identical target sets"
+                )
+            if all(adapted) and lns:
+                shapes = {(ln["A"].shape, ln["B"].shape) for ln in lns}
+                if len(shapes) != 1:
+                    raise ValueError(
+                        f"adapter shapes differ at {k}: {shapes} — "
+                        "stacked serving needs one rank per leaf"
+                    )
+                A0 = jnp.zeros_like(lns[0]["A"])
+                B0 = jnp.zeros_like(lns[0]["B"])
+                As = jnp.stack([A0] + [ln["A"] for ln in lns], axis=1)
+                Bs = jnp.stack(
+                    [B0] + [(ln["B"].astype(jnp.float32) * scale
+                             ).astype(lns[0]["B"].dtype) for ln in lns],
+                    axis=1,
+                )  # [L, n+1, ...] — L leads so the layer scan slices it
+                out[k] = {"w": v, "As": As, "Bs": Bs}
+            elif isinstance(v, dict):
+                out[k] = walk(v, [ln or {} for ln in lns])
+            else:
+                out[k] = v
+        return out
+
+    return walk(params, list(adapters))
+
+
+def set_adapter_ids(params: dict, aid, num_layers: int) -> dict:
+    """Graft per-row adapter ids [B] into every stacked-adapter leaf (as
+    [L, B], layer-major, so the model's layer scan slices them alongside
+    the weights). Pure tree restructure — free inside jit. No-op trees
+    without stacked leaves return unchanged."""
+    aid_l = jnp.broadcast_to(aid[None, :], (num_layers, aid.shape[0]))
+
+    def walk(node):
+        if not isinstance(node, dict):
+            return node
+        if "As" in node and "w" in node:
+            return {**node, "aid": aid_l}
+        return {k: walk(v) for k, v in node.items()}
+
+    return walk(params)
+
+
 def apply_lora(params: dict, lora: Dict, scale: float) -> dict:
     """Return params with W → W + scale·A@B on every adapted kernel,
     materialized eagerly (export/merge path; use apply_lora_lazy in train

@@ -655,3 +655,90 @@ def test_chunked_prefill_requires_divisible_buckets(model):
     with pytest.raises(ValueError, match="must divide"):
         ServingEngine(cfg, params, max_batch=1, max_len=64,
                       prompt_buckets=(16,), prefill_chunk=5)
+
+
+# ---- multi-adapter (LoRA) serving ------------------------------------------
+
+
+def _rand_adapter(params, key, r=4):
+    """A LoRA tree whose B factors are non-zero (init_lora starts B=0,
+    which would make the adapter a no-op) — so each adapter genuinely
+    changes the model."""
+    from gritlm_tpu.training.lora import init_lora
+
+    tree, _ = init_lora(params, key, r=r, alpha=8)
+
+    def walk(node, k):
+        if isinstance(node, dict) and "B" in node and "A" in node:
+            k, sub = jax.random.split(k)
+            return {
+                "A": node["A"],
+                "B": jax.random.normal(sub, node["B"].shape,
+                                       node["B"].dtype) * 0.5,
+            }, k
+        if isinstance(node, dict):
+            out = {}
+            for kk, v in node.items():
+                out[kk], k = walk(v, k)
+            return out, k
+        return node, k
+
+    tree, _ = walk(tree, key)
+    return tree
+
+
+@pytest.mark.parametrize("mode", ["plain", "chunked", "speculative"])
+def test_multi_adapter_pool_matches_merged_oracles(model, mode):
+    """Per-request LoRA serving (S-LoRA style): one pool serves the base
+    model and two different fine-tunes concurrently; each request is
+    token-exact vs the solo oracle run on ITS adapter's merged weights —
+    through plain, chunked-prefill, and speculative scheduling."""
+    from gritlm_tpu.training.lora import merge
+
+    cfg, params = model
+    scale = 2.0
+    ad = {"a": _rand_adapter(params, jax.random.PRNGKey(11)),
+          "b": _rand_adapter(params, jax.random.PRNGKey(12))}
+    rng = np.random.default_rng(31)
+    reqs = [
+        Request(input_ids=rng.integers(3, cfg.vocab_size, size=n).tolist(),
+                max_new_tokens=MAXNEW, request_id=f"m{i}", adapter=a)
+        for i, (n, a) in enumerate(
+            [(5, None), (9, "a"), (7, "b"), (11, "a")])
+    ]
+    kw = {}
+    if mode == "chunked":
+        kw = dict(prefill_chunk=4)
+    elif mode == "speculative":
+        kw = dict(speculative=True, spec_ngram=2, spec_k=3)
+    eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=64, chunk_size=2,
+        prompt_buckets=(16,), adapters=ad, lora_scale=scale, **kw,
+    )
+    done = {c.request_id: c for c in eng.run(reqs)}
+    merged = {None: params,
+              "a": merge(params, ad["a"], scale),
+              "b": merge(params, ad["b"], scale)}
+    outs = {}
+    for r in reqs:
+        want = _oracle(cfg, merged[r.adapter], r.input_ids,
+                       r.max_new_tokens)
+        got = done[r.request_id].token_ids
+        assert got == want, (r.request_id, r.adapter, got, want)
+        outs[r.request_id] = got
+    # guard: the adapters actually changed the model (not a no-op pass)
+    base_m1 = _oracle(cfg, params, reqs[1].input_ids, MAXNEW)
+    assert outs["m1"] != base_m1
+
+
+def test_unknown_adapter_rejected(model):
+    cfg, params = model
+    ad = {"a": _rand_adapter(params, jax.random.PRNGKey(1))}
+    eng = ServingEngine(cfg, params, max_batch=1, max_len=64,
+                        prompt_buckets=(16,), adapters=ad)
+    with pytest.raises(ValueError, match="unknown adapter"):
+        eng.submit(Request(input_ids=[3, 4], adapter="nope"))
+    with pytest.raises(ValueError, match="unknown adapter"):
+        ServingEngine(cfg, params, max_batch=1, max_len=64,
+                      prompt_buckets=(16,)).submit(
+            Request(input_ids=[3, 4], adapter="a"))
