@@ -119,13 +119,15 @@ class Request:
     # multi-adapter pools (ServingEngine(adapters=...)): which LoRA
     # fine-tune this request decodes with; None = the plain base model
     adapter: Optional[str] = None
+    # admission priority: higher admits first; FIFO within a level
+    priority: int = 0
 
 
 @dataclass
 class Completion:
     request_id: Optional[str]
     token_ids: List[int]  # generated ids, EOS included when emitted
-    finish_reason: str  # "eos" | "length"
+    finish_reason: str  # "eos" | "length" | "cancelled"
     prompt_len: int = 0
 
 
@@ -532,6 +534,16 @@ def _gather_prefix_program(k_pages, v_pages, k_sc, v_sc, pt_rows, *, quant):
     return dk, dv, (ks, vs)
 
 
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _deactivate_program(carry, slot):
+    """Stop one pool row on device (request cancellation): the next chunk
+    emits nothing for it and writes nothing past its frontier."""
+    (tok, cache, row_lens, row_pos, active, remaining, samp, hist,
+     aid) = carry
+    return (tok, cache, row_lens, row_pos, active.at[slot].set(False),
+            remaining.at[slot].set(0), samp, hist, aid)
+
+
 @functools.partial(
     jax.jit,
     donate_argnums=(2,),
@@ -708,6 +720,7 @@ class ServingEngine:
         prefill_chunk: Optional[int] = None,
         adapters=None,  # {name: lora_tree} — per-request LoRA serving
         lora_scale: float = 4.0,  # alpha/r of the adapter trees
+        on_token=None,  # streaming callback: on_token(request_id, token)
     ):
         self.cfg = cfg
         self.B = max_batch
@@ -719,6 +732,7 @@ class ServingEngine:
         self.spec_ngram = spec_ngram
         self.spec_k = spec_k
         self.prefill_chunk = prefill_chunk
+        self.on_token = on_token
         self._adapter_idx: Dict[str, int] = {}
         if adapters:
             # stack every adapter onto the base as {"w","As","Bs"} leaves
@@ -844,6 +858,7 @@ class ServingEngine:
         self.queue: List[Request] = []
         self.finished: List[Completion] = []
         self._pending: List[_Pending] = []  # chunked prefills in flight
+        self._draining: Dict[int, int] = {}  # cancelled slots cooling down
         self._prev = None  # in-flight chunk's (toks, emitted) device arrays
         self._steps = 0  # device decode steps taken (for stats)
 
@@ -1013,9 +1028,12 @@ class ServingEngine:
         return 0
 
     def _admit(self) -> None:
+        if any(r.priority for r in self.queue):
+            self.queue.sort(key=lambda r: -r.priority)  # stable: FIFO ties
         reserved = {p.slot for p in self._pending}
         free = [i for i in range(self.B)
-                if i not in self.slots and i not in reserved]
+                if i not in self.slots and i not in reserved
+                and i not in self._draining]
         taken: List[tuple] = []  # (request, private page ids | None)
         while self.queue and len(taken) < len(free):
             r = self.queue[0]
@@ -1127,28 +1145,29 @@ class ServingEngine:
                 self.slots[slot] = _Slot(request=r, first_src=(firsts, j))
 
     def _advance_pending(self) -> None:
-        """Advance the oldest chunked prefill by ONE chunk (bounding the
-        admission work a scheduler step can insert between decode chunks)
-        and fold it into its reserved slot when the prompt completes."""
-        if not self._pending:
-            return
-        p = self._pending[0]
+        """Advance EVERY chunked prefill by one chunk (each pending
+        request's prompt progresses in parallel; the admission work a
+        scheduler step inserts between decode chunks is bounded by
+        n_pending <= free slots chunk-forwards) and fold completed ones
+        into their reserved slots."""
         C = self.prefill_chunk
-        seg = p.request.input_ids[p.filled : p.filled + C]
-        ids = np.full((1, C), self.pad_id, np.int32)
-        mask = np.zeros((1, C), np.int32)
-        ids[0, : len(seg)] = seg
-        mask[0, : len(seg)] = 1
-        samp = self._samp_rows_for([p.request], 1) if self.sampling else None
-        p.cache, p.first = _prefill_chunk_program(
-            self.params, self.cfg, p.cache, jnp.asarray(ids),
-            jnp.asarray(mask), samp, self._aid_rows_for([p.request], 1),
-            chunk=C,
-        )
-        p.filled += len(seg)
-        if p.filled >= len(p.request.input_ids):
-            self._pending.pop(0)
-            self._insert_pending(p)
+        for p in list(self._pending):
+            seg = p.request.input_ids[p.filled : p.filled + C]
+            ids = np.full((1, C), self.pad_id, np.int32)
+            mask = np.zeros((1, C), np.int32)
+            ids[0, : len(seg)] = seg
+            mask[0, : len(seg)] = 1
+            samp = (self._samp_rows_for([p.request], 1)
+                    if self.sampling else None)
+            p.cache, p.first = _prefill_chunk_program(
+                self.params, self.cfg, p.cache, jnp.asarray(ids),
+                jnp.asarray(mask), samp,
+                self._aid_rows_for([p.request], 1), chunk=C,
+            )
+            p.filled += len(seg)
+            if p.filled >= len(p.request.input_ids):
+                self._pending.remove(p)
+                self._insert_pending(p)
 
     def _insert_pending(self, p: _Pending) -> None:
         r = p.request
@@ -1234,6 +1253,15 @@ class ServingEngine:
             aid_rows, dbucket=dbucket, bucket=bucket, rows=rows,
         )
 
+    def _emit(self, slot: int, tok: int) -> None:
+        """Account one generated token: append to the slot's stream, fire
+        the streaming callback, and retire the slot on EOS/budget."""
+        s = self.slots[slot]
+        s.generated.append(tok)
+        if self.on_token is not None:
+            self.on_token(s.request.request_id, tok)
+        self._maybe_finish(slot, tok)
+
     def _maybe_finish(self, slot: int, tok: int) -> None:
         s = self.slots[slot]
         done_eos = tok == self.eos_id
@@ -1257,6 +1285,47 @@ class ServingEngine:
                 # so stale reads only feed inactive rows' discarded output.
                 self._free_pages.extend(self._slot_pages.pop(slot, []))
 
+    def cancel(self, request_id) -> bool:
+        """Cancel a request wherever it is: queued (dropped), mid chunked
+        prefill (slot + pages released), or decoding (its device row is
+        deactivated; the slot cools down for two scheduler steps so an
+        in-flight chunk's stale emissions can never leak into a new
+        tenant). Emits a Completion with finish_reason='cancelled' and
+        whatever tokens were already generated. Returns False if the id
+        is unknown (e.g. already finished — its Completion stands)."""
+        for i, r in enumerate(self.queue):
+            if r.request_id == request_id:
+                self.queue.pop(i)
+                self.finished.append(Completion(
+                    request_id=request_id, token_ids=[],
+                    finish_reason="cancelled",
+                    prompt_len=len(r.input_ids)))
+                return True
+        for i, p in enumerate(self._pending):
+            if p.request.request_id == request_id:
+                self._pending.pop(i)
+                if p.pids:
+                    self._free_pages.extend(p.pids)
+                self.finished.append(Completion(
+                    request_id=request_id, token_ids=[],
+                    finish_reason="cancelled",
+                    prompt_len=len(p.request.input_ids)))
+                return True
+        for slot, sl in self.slots.items():
+            if sl.request.request_id == request_id:
+                self.carry = _deactivate_program(self.carry,
+                                                 jnp.int32(slot))
+                self.finished.append(Completion(
+                    request_id=request_id, token_ids=list(sl.generated),
+                    finish_reason="cancelled",
+                    prompt_len=len(sl.request.input_ids)))
+                del self.slots[slot]
+                if self.paged:
+                    self._free_pages.extend(self._slot_pages.pop(slot, []))
+                self._draining[slot] = 2
+                return True
+        return False
+
     def _resolve_firsts(self) -> None:
         """Fetch any pending prefill first-tokens (lazily, so admission
         itself never blocked on them) and account them as emissions."""
@@ -1270,9 +1339,7 @@ class ServingEngine:
             if key not in fetched:
                 fetched[key] = np.asarray(arr)
             s.first_src = None
-            first = int(fetched[key][j])
-            s.generated.append(first)
-            self._maybe_finish(slot, first)
+            self._emit(slot, int(fetched[key][j]))
 
     def _process(self, chunk) -> None:
         """Read one chunk's results off device and retire finished rows.
@@ -1289,8 +1356,7 @@ class ServingEngine:
                 s = self.slots[i]
                 for step in range(toks.shape[0]):
                     for t in toks[step, i, : emitted[step, i]].tolist():
-                        s.generated.append(int(t))
-                        self._maybe_finish(i, int(t))
+                        self._emit(i, int(t))
                         if i not in self.slots:
                             break
                     if i not in self.slots:
@@ -1301,10 +1367,8 @@ class ServingEngine:
             # device row pointer once; rows the device already stopped
             # (EOS/budget) have emitted=False, so stale chunk data for a
             # reused slot index is self-masking
-            s = self.slots[i]
             for t in toks[emitted[:, i], i].tolist():
-                s.generated.append(int(t))
-                self._maybe_finish(i, int(t))
+                self._emit(i, int(t))
                 if i not in self.slots:
                     break  # device stopped this row too (EOS/budget)
 
@@ -1344,6 +1408,10 @@ class ServingEngine:
         if self.overlap:
             self._process(self._prev)
         self._prev = cur
+        for slot in list(self._draining):
+            self._draining[slot] -= 1
+            if self._draining[slot] <= 0:
+                del self._draining[slot]
         return n_active if cur is not None else 0
 
     def run(self, requests: Sequence[Request] = ()) -> List[Completion]:

@@ -172,17 +172,55 @@ def main():
         print(f"spec vs engine: {(spec_tokens/spec_s)/(eng_tokens/eng_s):.2f}x")
 
     if args.prefill_chunk is not None:
+        # The stall scenario chunked prefill exists for: a steadily
+        # decoding pool (short prompts, long outputs, small decode chunks
+        # for low per-token latency) hit by LONG-prompt arrivals
+        # mid-flight. A monolithic bucket prefill inserts its whole
+        # forward between two decode chunks — every in-flight request's
+        # time-between-tokens spikes by it; chunking bounds the insert.
+        def stall_run(pc):
+            eng = ServingEngine(
+                cfg, params, max_batch=B, max_len=max_len,
+                eos_id=-1, chunk_size=4,
+                prompt_buckets=(256, 512, 1024, 1536), prefill_chunk=pc,
+            )
+            srng = np.random.default_rng(11)
+            base = [Request(
+                input_ids=srng.integers(3, cfg.vocab_size, 64).tolist(),
+                max_new_tokens=192, request_id=f"base{i}")
+                for i in range(B - 1)]
+            longs = [Request(
+                input_ids=srng.integers(3, cfg.vocab_size, 1500).tolist(),
+                max_new_tokens=16, request_id=f"long{i}")
+                for i in range(4)]
+            for r in base:
+                eng.submit(r)
+            for _ in range(6):  # pool warm and decoding
+                eng.step()
+            durs = []
+            arrivals = list(longs)
+            i = 0
+            while (eng.queue or eng.slots or eng._pending
+                   or eng._prev is not None or arrivals):
+                if arrivals and i % 8 == 0:
+                    eng.submit(arrivals.pop(0))
+                t0 = time.perf_counter()
+                eng.step()
+                durs.append(time.perf_counter() - t0)
+                i += 1
+            return durs
+
         def stall_stats(durs):
             d = np.sort(np.asarray(durs)) * 1e3
             return (f"steps={len(d)} p50={d[len(d)//2]:.0f}ms "
                     f"p95={d[int(len(d)*0.95)]:.0f}ms max={d[-1]:.0f}ms")
 
-        for label, pc in (("monolithic", None), ("chunked", args.prefill_chunk)):
-            engine_run(prefill_chunk=pc, want_steps=True)  # warmup
-            toks, _, durs = engine_run(prefill_chunk=pc, want_steps=True)
-            total = sum(durs)
-            print(f"{label:>10} prefill: {toks/total:.1f} tok/s, "
-                  f"step times {stall_stats(durs)}")
+        for label, pc in (("monolithic", None),
+                          ("chunked", args.prefill_chunk)):
+            stall_run(pc)  # warmup compiles
+            durs = stall_run(pc)
+            print(f"{label:>10} prefill: decode-step gaps "
+                  f"{stall_stats(durs)}")
 
 
 if __name__ == "__main__":

@@ -742,3 +742,75 @@ def test_unknown_adapter_rejected(model):
         ServingEngine(cfg, params, max_batch=1, max_len=64,
                       prompt_buckets=(16,)).submit(
             Request(input_ids=[3, 4], adapter="a"))
+
+
+# ---- streaming / cancellation / priority -----------------------------------
+
+
+def test_streaming_callback_matches_completions(model):
+    """on_token fires for every generated token, in order, per request."""
+    cfg, params = model
+    reqs = _requests(cfg, [3, 9, 5, 12])
+    streams: Dict[str, list] = {}
+    eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=64, chunk_size=2,
+        prompt_buckets=(16,),
+        on_token=lambda rid, t: streams.setdefault(rid, []).append(t),
+    )
+    done = eng.run(reqs)
+    _check_parity(cfg, params, done, reqs)
+    for c in done:
+        assert streams[c.request_id] == c.token_ids
+
+
+def test_cancel_queued_and_pending_and_inflight(model):
+    """cancel() releases a request at every lifecycle stage, and the freed
+    slot serves a later request with exact parity."""
+    cfg, params = model
+    reqs = _requests(cfg, [5, 7, 6, 4], seed=8)
+    for r, n in zip(reqs, [32, 32, 32, 8]):
+        r.max_new_tokens = n
+    eng = ServingEngine(
+        cfg, params, max_batch=1, max_len=64, chunk_size=1,
+        prompt_buckets=(16,), prefill_chunk=4, overlap=False,
+    )
+    for r in reqs:
+        eng.submit(r)
+    # r0 enters its chunked prefill; r1..r3 queue
+    eng.step()
+    assert eng.cancel("r1") is True  # queued
+    # let r0 finish prefill and decode a few tokens
+    for _ in range(4):
+        eng.step()
+    assert eng.cancel("r0") is True  # in-flight decode
+    # r2 admits next; cancel it while its prefill is pending
+    while not eng._pending:
+        eng.step()
+    assert eng.cancel("r2") is True  # mid chunked prefill
+    while eng.queue or eng.slots or eng._pending or eng._prev is not None:
+        eng.step()
+    assert eng.cancel("nope") is False
+    by_id = {c.request_id: c for c in eng.finished}
+    assert by_id["r1"].finish_reason == "cancelled"
+    assert by_id["r1"].token_ids == []
+    assert by_id["r2"].finish_reason == "cancelled"
+    assert by_id["r0"].finish_reason == "cancelled"
+    assert 0 < len(by_id["r0"].token_ids) < 32  # partial stream kept
+    # the survivor is token-exact despite slot churn around it
+    want = _oracle(cfg, params, reqs[3].input_ids, 8)
+    assert by_id["r3"].token_ids == want
+
+
+def test_priority_admission_order(model):
+    """Higher-priority requests jump the queue (FIFO within a level)."""
+    cfg, params = model
+    reqs = _requests(cfg, [4, 4, 4], seed=9)
+    reqs[2].priority = 5
+    eng = ServingEngine(
+        cfg, params, max_batch=1, max_len=64, chunk_size=2,
+        prompt_buckets=(16,), overlap=False,
+    )
+    done = eng.run(reqs)
+    order = [c.request_id for c in done]
+    assert order == ["r2", "r0", "r1"], order
+    _check_parity(cfg, params, done, reqs)
