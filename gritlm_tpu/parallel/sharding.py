@@ -80,6 +80,15 @@ def _with_quant_leaves(spec_node: Any, param_node: Any) -> Any:
     small and replicating it avoids divisibility constraints."""
     from gritlm_tpu.training.quant import is_quantized_leaf
 
+    if isinstance(param_node, dict) and "As" in param_node and "w" in param_node:
+        # stacked multi-LoRA serving leaf (training/lora.stack_adapters):
+        # the base kernel keeps its spec; the [L, n_adapters, in, r] /
+        # [L, n_adapters, r, out] factors are tiny (rank r) — replicate
+        return {
+            "w": _with_quant_leaves(spec_node, param_node["w"]),
+            "As": P(*((None,) * param_node["As"].ndim)),
+            "Bs": P(*((None,) * param_node["Bs"].ndim)),
+        }
     if is_quantized_leaf(param_node):
         s = tuple(spec_node)
         scale_spec = (

@@ -741,10 +741,6 @@ class ServingEngine:
             # the leaves inside each program (lora.set_adapter_ids)
             from gritlm_tpu.training.lora import stack_adapters
 
-            if mesh is not None:
-                raise NotImplementedError(
-                    "multi-adapter serving is single-chip for now"
-                )
             names = list(adapters)
             self._adapter_idx = {n: i + 1 for i, n in enumerate(names)}
             params = stack_adapters(

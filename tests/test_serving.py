@@ -731,6 +731,33 @@ def test_multi_adapter_pool_matches_merged_oracles(model, mode):
     assert outs["m1"] != base_m1
 
 
+def test_multi_adapter_mesh_pool(model):
+    """Adapter serving over a GSPMD mesh: stacked factors replicate, base
+    kernels keep their FSDP/TP specs; outputs stay token-exact vs each
+    adapter's merged oracle."""
+    from gritlm_tpu.parallel import MeshConfig, make_mesh
+    from gritlm_tpu.training.lora import merge
+
+    cfg, params = model
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    ad = {"a": _rand_adapter(params, jax.random.PRNGKey(17))}
+    rng = np.random.default_rng(33)
+    reqs = [
+        Request(input_ids=rng.integers(3, cfg.vocab_size, size=n).tolist(),
+                max_new_tokens=MAXNEW, request_id=f"x{i}", adapter=a)
+        for i, (n, a) in enumerate([(5, None), (9, "a")])
+    ]
+    eng = ServingEngine(
+        cfg, params, max_batch=8, max_len=64, chunk_size=2,
+        prompt_buckets=(16,), adapters=ad, lora_scale=2.0, mesh=mesh,
+    )
+    done = {c.request_id: c for c in eng.run(reqs)}
+    merged = {None: params, "a": merge(params, ad["a"], 2.0)}
+    for r in reqs:
+        want = _oracle(cfg, merged[r.adapter], r.input_ids, MAXNEW)
+        assert done[r.request_id].token_ids == want, (r.request_id,)
+
+
 def test_unknown_adapter_rejected(model):
     cfg, params = model
     ad = {"a": _rand_adapter(params, jax.random.PRNGKey(1))}
