@@ -45,11 +45,37 @@ def main() -> None:
 
     cfg = dataclasses.replace(mistral_7b(), sliding_window=4096)
     t0 = time.time()
+    cache_file = "/tmp/gritlm_7b_w8_params.npz"
     cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        params = init_params(cfg, jax.random.PRNGKey(0), with_lm_head=True)
-        params = quantize_for_serving(params)
-    print(f"7B init+quantize on host: {time.time()-t0:.0f}s", flush=True)
+    if os.path.exists(cache_file):
+        # single-core host: random-init + quantize of 7B takes ~1h, so
+        # reruns load the flattened quantized tree from disk instead
+        import jax.numpy as jnp
+
+        blob = np.load(cache_file)
+        from gritlm_tpu.models import init_params as _ip  # treedef source
+        with jax.default_device(cpu):
+            sample = jax.eval_shape(
+                lambda k: _ip(cfg, k, with_lm_head=True),
+                jax.random.PRNGKey(0))
+            from gritlm_tpu.training.quant import quantize_for_serving as q
+            sample = jax.eval_shape(q, sample)
+            leaves, treedef = jax.tree_util.tree_flatten(sample)
+            params = jax.tree_util.tree_unflatten(
+                treedef, [jnp.asarray(blob[str(i)])
+                          for i in range(len(leaves))])
+        print(f"7B quantized params loaded: {time.time()-t0:.0f}s",
+              flush=True)
+    else:
+        with jax.default_device(cpu):
+            params = init_params(cfg, jax.random.PRNGKey(0),
+                                 with_lm_head=True)
+            params = quantize_for_serving(params)
+        leaves = jax.tree_util.tree_leaves(params)
+        np.savez(cache_file,
+                 **{str(i): np.asarray(x) for i, x in enumerate(leaves)})
+        print(f"7B init+quantize on host: {time.time()-t0:.0f}s (cached)",
+              flush=True)
 
     B = args.slots
 
