@@ -22,6 +22,17 @@ from gritlm_tpu.config import tiny_mistral, tiny_mixtral  # noqa: E402
 from gritlm_tpu.models import init_params  # noqa: E402
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _drop_jit_caches_between_modules():
+    """The full suite compiles many hundreds of executables in ONE process
+    (8-device CPU mesh); letting them all stay live has segfaulted XLA's
+    CPU compiler late in the run (address-space/map pressure). Tests
+    within a module share compilations; across modules they rarely do —
+    so drop the jit caches at each module boundary."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def cfg():
     return tiny_mistral()
