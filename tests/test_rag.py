@@ -303,6 +303,12 @@ def test_serve_matches_lockstep_doc_mode(engine):
                      pool_max_len=512, prompt_buckets=(64, 128, 256),
                      speculative=True, spec_ngram=2, spec_k=3)
     assert [r.answer for r in spec] == lockstep
+    # paged pool: each retrieved doc pins into shared pages once
+    # (zero-copy across queries hitting the same doc) — same answers
+    pg = eng.serve(qs, max_new_tokens=6, slots=2, chunk_size=2,
+                   pool_max_len=512, prompt_buckets=(64, 128, 256),
+                   paged=True, page_size=16)
+    assert [r.answer for r in pg] == lockstep
 
 
 def test_serve_encodes_missing_docs_once(engine):
