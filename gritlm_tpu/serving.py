@@ -132,6 +132,38 @@ class Completion:
 
 
 @dataclass
+class EmbedRequest:
+    """One embedding request in the SAME pool as generation — unified
+    serving of the model's two capabilities (the GritLM thesis: one set
+    of weights does both; reference gritlm/gritlm.py:92-176 vs :262-296
+    can only run them as separate batch scripts).
+
+    Token-id level like Request: `input_ids` is the full prompt
+    (instruction + text + embed_eos tokens, unpadded); the leading
+    `instr_len` tokens are excluded from mean/weightedmean pooling
+    (reference instruction masking, gritlm/gritlm.py:144-153). Pass
+    instr_len=0 to embed the instruction too (embed_instruction=True
+    semantics). Embedding batches dispatch between decode chunks — one
+    same-bucket group per scheduler step, so in-flight generations'
+    time-between-tokens stays bounded — and run the SAME jitted program
+    as GritLM.encode (gritlm._encode_step), so pool embeddings are
+    bitwise identical to the offline encoder's."""
+
+    input_ids: List[int]
+    instr_len: int = 0
+    request_id: Optional[str] = None
+    priority: int = 0
+    # multi-adapter pools: embed with this LoRA fine-tune (None = base)
+    adapter: Optional[str] = None
+
+
+@dataclass
+class EmbedCompletion:
+    request_id: Optional[str]
+    embedding: np.ndarray  # [hidden] float32, L2-normalized by default
+
+
+@dataclass
 class _Slot:
     request: Request
     generated: List[int] = field(default_factory=list)
@@ -721,6 +753,14 @@ class ServingEngine:
         adapters=None,  # {name: lora_tree} — per-request LoRA serving
         lora_scale: float = 4.0,  # alpha/r of the adapter trees
         on_token=None,  # streaming callback: on_token(request_id, token)
+        # unified serving (EmbedRequest): embedding-forward config,
+        # mirroring GritLM(mode="unified") defaults — bidirectional
+        # attention, mean pooling, L2-normalized (gritlm.py encode path)
+        pooling_method: str = "mean",
+        embed_causal: bool = False,
+        normalized: bool = True,
+        embed_batch: Optional[int] = None,  # rows per embed dispatch
+        on_embedding=None,  # streaming callback: on_embedding(id, vec)
     ):
         self.cfg = cfg
         self.B = max_batch
@@ -733,6 +773,11 @@ class ServingEngine:
         self.spec_k = spec_k
         self.prefill_chunk = prefill_chunk
         self.on_token = on_token
+        self.pooling_method = pooling_method
+        self.embed_causal = embed_causal
+        self.normalized = normalized
+        self.embed_batch = embed_batch or max_batch
+        self.on_embedding = on_embedding
         self._adapter_idx: Dict[str, int] = {}
         if adapters:
             # stack every adapter onto the base as {"w","As","Bs"} leaves
@@ -856,6 +901,9 @@ class ServingEngine:
         self._pending: List[_Pending] = []  # chunked prefills in flight
         self._draining: Dict[int, int] = {}  # cancelled slots cooling down
         self._prev = None  # in-flight chunk's (toks, emitted) device arrays
+        self.embed_queue: List[EmbedRequest] = []
+        self.finished_embeds: List[EmbedCompletion] = []
+        self._prev_embed = None  # in-flight (emb device array, requests)
         self._steps = 0  # device decode steps taken (for stats)
 
     # ---- scheduler ----------------------------------------------------
@@ -1015,6 +1063,102 @@ class ServingEngine:
                 + f" exceeds pool max_len {self.max_len}"
             )
         self.queue.append(req)
+
+    # ---- unified serving: embedding requests in the same pool ----------
+
+    def submit_embed(self, req: EmbedRequest) -> None:
+        if len(req.input_ids) > self.buckets[-1]:
+            raise ValueError(
+                f"embed prompt {len(req.input_ids)} exceeds largest "
+                f"prompt bucket {self.buckets[-1]}"
+            )
+        if req.adapter is not None and req.adapter not in self._adapter_idx:
+            raise ValueError(
+                f"unknown adapter {req.adapter!r} (build the engine with "
+                "adapters={name: lora_tree, ...})"
+            )
+        self.embed_queue.append(req)
+
+    def _dispatch_embeds(self):
+        """One same-bucket embedding batch per scheduler step (bounded
+        work per step, like chunked prefill: co-tenant generations wait
+        at most one decode chunk + one embed forward). Returns the
+        in-flight (device embeddings, requests) pair — results stream
+        back while the next decode chunk computes."""
+        if not self.embed_queue:
+            return None
+        if any(r.priority for r in self.embed_queue):
+            self.embed_queue.sort(key=lambda r: -r.priority)  # stable
+        bucket = _bucket(len(self.embed_queue[0].input_ids), self.buckets)
+        group, rest = [], []
+        for r in self.embed_queue:
+            if (len(group) < self.embed_batch
+                    and _bucket(len(r.input_ids), self.buckets) == bucket):
+                group.append(r)
+            else:
+                rest.append(r)
+        self.embed_queue = rest
+        n = len(group)
+        ids = np.full((n, bucket), self.pad_id, np.int32)
+        mask = np.zeros((n, bucket), np.int32)
+        pmask = np.zeros((n, bucket), np.int32)
+        for i, r in enumerate(group):
+            ln = len(r.input_ids)
+            ids[i, :ln] = r.input_ids
+            mask[i, :ln] = 1
+            # instruction tokens pollute mean pooling only (reference
+            # masks them for mean/weightedmean, gritlm/gritlm.py:144-153)
+            start = r.instr_len if "mean" in self.pooling_method else 0
+            pmask[i, start:ln] = 1
+        if self.mesh is not None:
+            # pad rows to the mesh's batch-shard count (one valid token
+            # keeps pad rows' pooling masks non-empty — gritlm.encode)
+            padr = -n % self._batch_shards
+            if padr:
+                ids = np.pad(ids, ((0, padr), (0, 0)),
+                             constant_values=self.pad_id)
+                mask = np.pad(mask, ((0, padr), (0, 0)))
+                mask[n:, 0] = 1
+                pmask = np.pad(pmask, ((0, padr), (0, 0)))
+                pmask[n:, 0] = 1
+        from gritlm_tpu.gritlm import _encode_step  # same jitted program
+        # as GritLM.encode — pool embeddings are bitwise the encoder's
+
+        params = self.params
+        if self._adapter_idx:
+            # per-row adapter ids through the stacked leaves (0 = base);
+            # the [B, S, D] multi-adapter _mm path covers encode too
+            aid = np.zeros(ids.shape[0], np.int32)
+            for i, r in enumerate(group):
+                if r.adapter is not None:
+                    aid[i] = self._adapter_idx[r.adapter]
+            params = _with_adapters(params, self.cfg, jnp.asarray(aid))
+        emb = _encode_step(
+            params, None, self.cfg,
+            self._put_rows(ids), self._put_rows(mask),
+            self._put_rows(pmask),
+            pooling_method=self.pooling_method, causal=self.embed_causal,
+            normalized=self.normalized, has_projection=False,
+        )
+        emb.copy_to_host_async()
+        return (emb, group)
+
+    def _process_embeds(self, prev) -> None:
+        if prev is None:
+            return
+        emb, group = prev
+        out = np.asarray(jax.device_get(emb), np.float32)
+        for i, r in enumerate(group):
+            self.finished_embeds.append(
+                EmbedCompletion(r.request_id, out[i])
+            )
+            if self.on_embedding is not None:
+                self.on_embedding(r.request_id, out[i])
+
+    def take_embeddings(self) -> List[EmbedCompletion]:
+        """Drain finished embeddings (finish order)."""
+        out, self.finished_embeds = self.finished_embeds, []
+        return out
 
     def _doc_len(self, r: Request) -> int:
         if r.prefix is not None:
@@ -1379,9 +1523,12 @@ class ServingEngine:
         if not self.overlap:
             self._process(self._prev)
             self._prev = None
+            self._process_embeds(self._prev_embed)
+            self._prev_embed = None
         self._admit()
         if self.prefill_chunk is not None:
             self._advance_pending()
+        cur_embed = self._dispatch_embeds()
         n_active = len(self.slots)
         cur = None
         if self.slots:
@@ -1403,7 +1550,9 @@ class ServingEngine:
             cur = (toks, emitted)
         if self.overlap:
             self._process(self._prev)
+            self._process_embeds(self._prev_embed)
         self._prev = cur
+        self._prev_embed = cur_embed
         for slot in list(self._draining):
             self._draining[slot] -= 1
             if self._draining[slot] <= 0:
@@ -1411,12 +1560,17 @@ class ServingEngine:
         return n_active if cur is not None else 0
 
     def run(self, requests: Sequence[Request] = ()) -> List[Completion]:
-        """Serve until queue and pool drain; returns completions in finish
-        order."""
+        """Serve until queue and pool drain; returns generation
+        completions in finish order. Accepts a mix of Request and
+        EmbedRequest — embeddings are drained with take_embeddings()."""
         for r in requests:
-            self.submit(r)
+            if isinstance(r, EmbedRequest):
+                self.submit_embed(r)
+            else:
+                self.submit(r)
         while (self.queue or self.slots or self._pending
-               or self._prev is not None):
+               or self._prev is not None or self.embed_queue
+               or self._prev_embed is not None):
             self.step()
         out, self.finished = self.finished, []
         return out

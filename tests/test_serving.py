@@ -15,7 +15,7 @@ import pytest
 from gritlm_tpu.config import tiny_mistral
 from gritlm_tpu.generate import generate, make_cache_for_prompt
 from gritlm_tpu.models import init_params
-from gritlm_tpu.serving import Completion, Request, ServingEngine
+from gritlm_tpu.serving import Completion, EmbedRequest, Request, ServingEngine
 
 MAXNEW = 8
 
@@ -841,3 +841,108 @@ def test_priority_admission_order(model):
     order = [c.request_id for c in done]
     assert order == ["r2", "r0", "r1"], order
     _check_parity(cfg, params, done, reqs)
+
+
+# ---- unified serving: embed + generate in one pool ----------------------
+
+
+def _embed_requests(cfg, lens, seed=3, instr_len=0):
+    rng = np.random.default_rng(seed)
+    return [
+        EmbedRequest(
+            input_ids=rng.integers(3, min(cfg.vocab_size, 256),
+                                   size=n).tolist(),
+            instr_len=instr_len,
+            request_id=f"e{i}",
+        )
+        for i, n in enumerate(lens)
+    ]
+
+
+def test_embed_requests_match_offline_encoder():
+    """The GritLM thesis, served: embedding requests in the generation
+    pool produce BITWISE the offline GritLM.encode embeddings — the
+    engine dispatches the same jitted _encode_step program on the same
+    padded arrays (instruction masking included)."""
+    from gritlm_tpu.gritlm import GritLM
+    from gritlm_tpu.serving import EmbedRequest
+    from gritlm_tpu.tokenizer import instruction_token_lens
+
+    m = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0)
+    texts = ["alpha beta", "gamma!", "delta epsilon zeta", "eta theta"]
+    instr = "<|user|>\nRepresent\n<|embed|>\n"
+    want = m.encode(texts, instruction=instr, batch_size=4)
+
+    batch = [instr + t + m.embed_eos for t in texts]
+    enc = m.tokenizer(batch, max_length=512)
+    ids, mask = np.asarray(enc["input_ids"]), np.asarray(enc["attention_mask"])
+    ilens = instruction_token_lens(m.tokenizer, instr, ids, mask)
+    eng = ServingEngine(
+        m.config, m.params, max_batch=4, max_len=128,
+        prompt_buckets=(64, 128), pad_id=m.tokenizer.pad_token_id,
+    )
+    for i in range(len(texts)):
+        n = int(mask[i].sum())
+        eng.submit_embed(EmbedRequest(
+            input_ids=ids[i, :n].tolist(), instr_len=int(ilens[i]),
+            request_id=f"e{i}",
+        ))
+    eng.run()
+    got = {c.request_id: c.embedding for c in eng.take_embeddings()}
+    assert len(got) == len(texts)
+    for i in range(len(texts)):
+        np.testing.assert_array_equal(got[f"e{i}"], want[i])
+
+
+@pytest.mark.parametrize("overlap", [False, True])
+def test_mixed_embed_generate_pool(model, overlap):
+    """Embeds interleave with decoding without perturbing either side:
+    generations stay token-exact vs the solo oracle, embeddings equal an
+    embed-only pool's, and the on_embedding stream sees every vector."""
+    from gritlm_tpu.serving import EmbedRequest
+
+    cfg, params = model
+    gen = _requests(cfg, [5, 11, 4, 8], seed=7)
+    emb = _embed_requests(cfg, [6, 12, 9], instr_len=2)
+
+    solo = ServingEngine(cfg, params, max_batch=2, max_len=64,
+                         chunk_size=2, prompt_buckets=(16,), embed_batch=2)
+    solo.run(emb)
+    want_emb = {c.request_id: c.embedding for c in solo.take_embeddings()}
+
+    streamed = {}
+    eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=64, chunk_size=2,
+        prompt_buckets=(16,), overlap=overlap, embed_batch=2,
+        on_embedding=lambda rid, v: streamed.__setitem__(rid, v),
+    )
+    done = eng.run(list(gen) + list(emb))  # mixed submission via run()
+    _check_parity(cfg, params, done, gen)
+    got = {c.request_id: c.embedding for c in eng.take_embeddings()}
+    assert set(got) == set(want_emb) == set(streamed)
+    for rid in want_emb:
+        np.testing.assert_array_equal(got[rid], want_emb[rid])
+        np.testing.assert_array_equal(streamed[rid], want_emb[rid])
+
+
+def test_embed_pool_mesh_matches_single(model):
+    """Embedding requests through a GSPMD-meshed pool (row padding to the
+    batch shards) match the single-device pool's vectors."""
+    from gritlm_tpu.parallel import MeshConfig, make_mesh
+    from gritlm_tpu.serving import EmbedRequest
+
+    cfg, params = model
+    emb = _embed_requests(cfg, [6, 12, 9, 5, 7], instr_len=1)
+    one = ServingEngine(cfg, params, max_batch=8, max_len=64,
+                        prompt_buckets=(16,))
+    one.run(emb)
+    want = {c.request_id: c.embedding for c in one.take_embeddings()}
+
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    eng = ServingEngine(cfg, params, max_batch=8, max_len=64,
+                        prompt_buckets=(16,), mesh=mesh)
+    eng.run(emb)
+    got = {c.request_id: c.embedding for c in eng.take_embeddings()}
+    assert set(got) == set(want)
+    for rid in want:
+        np.testing.assert_allclose(got[rid], want[rid], atol=2e-6)
