@@ -48,6 +48,11 @@ def main():
                     help="also run the engine with chunked (stall-free) "
                     "prefill and report per-step time stats — the stall "
                     "a monolithic prefill inserts between decode chunks")
+    ap.add_argument("--embed", type=int, default=0,
+                    help="unified pool: also submit N embedding requests "
+                    "(ragged 200-1500 tokens) alongside the generation "
+                    "traffic; reports mixed-pool wall vs sequential "
+                    "generate-then-encode, and in-flight embed latency")
     args = ap.parse_args()
 
     from __graft_entry__ import _bench_config
@@ -170,6 +175,54 @@ def main():
               f"= {spec_tokens/spec_s:.1f} tok/s  ({spec_steps} verify "
               f"iters, {spec_tokens/spec_steps:.2f} useful tokens/iter)")
         print(f"spec vs engine: {(spec_tokens/spec_s)/(eng_tokens/eng_s):.2f}x")
+
+    if args.embed:
+        # Unified serving: the same pool embeds while it decodes. The
+        # interesting numbers: (a) total wall for the mixed workload vs
+        # running generation then an embed-only pool sequentially (device
+        # time should be conserved — interleaving costs ~nothing), and
+        # (b) when embed results ARRIVE: mid-flight (bounded by one
+        # decode chunk + one embed forward) instead of after the whole
+        # generation run drains.
+        from gritlm_tpu.serving import EmbedRequest
+
+        elens = rng.integers(200, 1500, args.embed)
+        embeds = [
+            EmbedRequest(input_ids=prompt_ids(int(n)), instr_len=8,
+                         request_id=f"emb{i}")
+            for i, n in enumerate(elens)
+        ]
+
+        def unified_run(gen, emb):
+            arrive = {}
+            t_start = [0.0]
+            eng = ServingEngine(
+                cfg, params, max_batch=B, max_len=max_len,
+                kv_quant=args.kv_quant, eos_id=-1, chunk_size=args.chunk,
+                prompt_buckets=(256, 512, 1024, 1536), **paged_kw,
+                on_embedding=lambda rid, v: arrive.__setitem__(
+                    rid, time.perf_counter() - t_start[0]),
+            )
+            for r in gen:
+                eng.submit(r)
+            for e in emb:
+                eng.submit_embed(e)
+            t_start[0] = time.perf_counter()
+            eng.run()
+            wall = time.perf_counter() - t_start[0]
+            toks = sum(len(c.token_ids) for c in eng.finished)
+            return toks, wall, np.sort(np.asarray(list(arrive.values())))
+
+        unified_run(reqs, embeds)  # warmup (embed-bucket compiles)
+        toks_m, wall_m, lat_m = unified_run(reqs, embeds)
+        _, wall_e, lat_e = unified_run([], embeds)  # embed-only pool
+        seq = eng_s + wall_e
+        print(f"unified:  {toks_m} gen tokens + {args.embed} embeddings "
+              f"in {wall_m:.2f}s (sequential gen+encode = {seq:.2f}s, "
+              f"{seq/wall_m:.2f}x)")
+        print(f"          embed arrival p50 {lat_m[len(lat_m)//2]:.2f}s / "
+              f"max {lat_m[-1]:.2f}s mid-flight vs "
+              f"{eng_s + lat_e[len(lat_e)//2]:.2f}s sequential")
 
     if args.prefill_chunk is not None:
         # The stall scenario chunked prefill exists for: a steadily

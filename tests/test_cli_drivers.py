@@ -194,3 +194,37 @@ def test_mteb_cli_offline_rerank(tmp_path):
     # per-query yes-score cache was written
     cache_files = list((tmp_path / "rrcache" / "ToyRetrieval").glob("*.json"))
     assert len(cache_files) == 4
+
+
+def test_serve_cli(tmp_path):
+    """python -m gritlm_tpu.serve: a mixed JSONL request file (generation,
+    sampled generation, embedding) through the continuous-batching pool;
+    completions land in finish order, embeddings are unit-norm."""
+    from gritlm_tpu.serve import main
+
+    reqs = tmp_path / "reqs.jsonl"
+    rows = [
+        {"id": "g0", "prompt": "<s><|user|>\nHi\n<|assistant|>\n",
+         "max_new_tokens": 6},
+        {"id": "g1", "prompt": "<s>hello there", "max_new_tokens": 4,
+         "temperature": 0.7, "seed": 3},
+        {"id": "e0", "type": "embed", "text": "a passage to embed",
+         "instruction": "<|user|>\nRepresent this\n<|embed|>\n"},
+    ]
+    reqs.write_text("\n".join(json.dumps(r) for r in rows))
+    out = tmp_path / "done.jsonl"
+    summary = main([
+        "--model_preset", "tiny_mistral",
+        "--requests", str(reqs), "--out", str(out),
+        "--slots", "2", "--max_len", "128",
+        "--prompt_buckets", "64", "--chunk_size", "2",
+    ])
+    assert summary["completions"] == 2 and summary["embeddings"] == 1
+    got = {json.loads(ln)["id"]: json.loads(ln)
+           for ln in out.read_text().splitlines()}
+    assert set(got) == {"g0", "g1", "e0"}
+    assert got["g0"]["finish_reason"] in ("eos", "length")
+    assert 1 <= len(got["g0"]["token_ids"]) <= 6
+    assert isinstance(got["g0"]["text"], str)
+    emb = np.asarray(got["e0"]["embedding"])
+    np.testing.assert_allclose(np.linalg.norm(emb), 1.0, rtol=1e-5)
