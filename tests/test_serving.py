@@ -946,3 +946,34 @@ def test_embed_pool_mesh_matches_single(model):
     assert set(got) == set(want)
     for rid in want:
         np.testing.assert_allclose(got[rid], want[rid], atol=2e-6)
+
+
+@pytest.mark.parametrize(
+    "pool_kw",
+    [dict(paged=True, page_size=8, pool_pages=24),
+     dict(speculative=True, spec_ngram=2, spec_k=3)],
+    ids=["paged", "speculative"],
+)
+def test_embed_composes_with_pool_modes(model, pool_kw):
+    """Embedding requests are pool-layout-independent: through a paged
+    pool and through a speculative verify pool, mixed-run generations
+    stay oracle-exact and embeddings match the dense embed-only pool."""
+    from gritlm_tpu.serving import EmbedRequest
+
+    cfg, params = model
+    gen = _requests(cfg, [5, 9, 4], seed=13)
+    emb = _embed_requests(cfg, [6, 12], seed=14, instr_len=2)
+
+    solo = ServingEngine(cfg, params, max_batch=2, max_len=64,
+                         prompt_buckets=(16,))
+    solo.run(emb)
+    want = {c.request_id: c.embedding for c in solo.take_embeddings()}
+
+    eng = ServingEngine(cfg, params, max_batch=2, max_len=64,
+                        chunk_size=2, prompt_buckets=(16,), **pool_kw)
+    done = eng.run(list(gen) + list(emb))
+    _check_parity(cfg, params, done, gen)
+    got = {c.request_id: c.embedding for c in eng.take_embeddings()}
+    assert set(got) == set(want)
+    for rid in want:
+        np.testing.assert_array_equal(got[rid], want[rid])
