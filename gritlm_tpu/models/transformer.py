@@ -446,7 +446,7 @@ def _attention_block(
 
     if layer_cache is not None:
         (k_all, v_all, k_sc, v_sc, kv_mask, offset, lidx,
-         page_table) = layer_cache
+         page_table, shard_rows) = layer_cache
         per_row = getattr(offset, "ndim", 0) == 1  # [B] slot offsets
         if page_table is not None:
             # paged serving decode: the row's logical slot `offset` lives
@@ -476,12 +476,52 @@ def _attention_block(
                 v2 = v.reshape(B, S, Kv * Dh).astype(v_all.dtype)
             k_all = k_all.at[lidx, pids, offs, :].set(k2)
             v_all = v_all.at[lidx, pids, offs, :].set(v2)
-            out = paged_decode(
-                q, k_all, v_all, page_table, kv_mask,
-                layer=lidx, num_kv_heads=Kv,
-                k_scale=k_sc, v_scale=v_sc,
-                causal=S > 1, offset=offset if S > 1 else 0,
-            )
+            if shard_rows is not None:
+                # Multi-chip paged serving: the Pallas kernel is opaque
+                # to GSPMD, so run it per-shard under shard_map — the
+                # rows (q, page table, mask, offsets) shard over the
+                # mesh's batch axes while the page POOL stays replicated,
+                # so pinned prefix pages are shared zero-copy by rows on
+                # EVERY shard. The scatter above stays GSPMD (per-step
+                # updates are tiny [B, S, Kv*Dh] gathers into the
+                # replicated pool).
+                from jax import shard_map
+                from jax.sharding import PartitionSpec
+
+                mesh_, axes_ = shard_rows
+                rows_sp = PartitionSpec(axes_)
+                rep = PartitionSpec()
+                quant = k_sc is not None
+
+                def _pd(q, kp, vp, pt, km, lv, off, *sc):
+                    ksc, vsc = sc if quant else (None, None)
+                    return paged_decode(
+                        q, kp, vp, pt, km, layer=lv[0], num_kv_heads=Kv,
+                        k_scale=ksc, v_scale=vsc,
+                        causal=S > 1, offset=off if S > 1 else 0,
+                    )
+
+                lv = jnp.asarray(lidx, jnp.int32).reshape(1)
+                offs_rows = jnp.broadcast_to(
+                    jnp.asarray(offset, jnp.int32), (B,))
+                args = [q, k_all, v_all, page_table, kv_mask, lv,
+                        offs_rows]
+                specs = [rows_sp, rep, rep, rows_sp, rows_sp, rep,
+                         rows_sp]
+                if quant:
+                    args += [k_sc, v_sc]
+                    specs += [rep, rep]
+                out = shard_map(
+                    _pd, mesh=mesh_, in_specs=tuple(specs),
+                    out_specs=rows_sp, check_vma=False,
+                )(*args)
+            else:
+                out = paged_decode(
+                    q, k_all, v_all, page_table, kv_mask,
+                    layer=lidx, num_kv_heads=Kv,
+                    k_scale=k_sc, v_scale=v_sc,
+                    causal=S > 1, offset=offset if S > 1 else 0,
+                )
             return (_mm(out.reshape(B, S, H * Dh), p["wo"]),
                     (k_all, v_all, k_sc, v_sc))
         if k_sc is not None:  # int8 cache: quantize this step's K/V
@@ -719,6 +759,7 @@ def forward(
     remat_policy: Optional[str] = None,
     output_router_logits: bool = False,
     final_norm: bool = True,
+    shard_rows: Optional[tuple] = None,  # (Mesh, batch-axis names)
 ):
     """Run the trunk (no LM head). Returns (hidden [B,S,D], new_cache, aux).
 
@@ -741,6 +782,11 @@ def forward(
     speculative verify chunk: S tokens append per row with causal
     attention inside the chunk; the caller clears rejected slots' mask
     bits afterwards.
+
+    `shard_rows=(mesh, axes)` (paged caches only) runs the paged decode
+    kernel per-shard under shard_map: rows shard over the mesh's batch
+    axes, the page pool replicates (so pinned prefix pages are shared by
+    all shards) — the multi-chip serving path (serving.py).
     """
     B, S = input_ids.shape
     x = jnp.take(params["embed"]["embedding"], input_ids, axis=0)
@@ -827,7 +873,8 @@ def forward(
                 lp = _merge_q4_leaves(lp, q4_stacked, lidx)
             x, (k_all, v_all, k_sc, v_sc), router_logits, dropped = _block(
                 x, lp,
-                (k_all, v_all, k_sc, v_sc, kv_mask, offset, lidx, page_table),
+                (k_all, v_all, k_sc, v_sc, kv_mask, offset, lidx,
+                 page_table, shard_rows if paged else None),
             )
             out_aux = (router_logits, dropped) if output_router_logits else ()
             return (x, k_all, v_all, k_sc, v_sc), out_aux

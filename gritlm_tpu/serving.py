@@ -579,10 +579,10 @@ def _deactivate_program(carry, slot):
 @functools.partial(
     jax.jit,
     donate_argnums=(2,),
-    static_argnames=("cfg", "steps", "eos_id", "pad_id", "sample"),
+    static_argnames=("cfg", "steps", "eos_id", "pad_id", "sample", "shard"),
 )
 def _decode_chunk_program(params, cfg, carry, *, steps, eos_id, pad_id,
-                          sample=False):
+                          sample=False, shard=None):
     """`steps` pool-wide decode iterations on device. Each iteration
     appends every active row's pending token at its own offset and samples
     the next (greedily, or per the row's own sampling params when
@@ -599,7 +599,7 @@ def _decode_chunk_program(params, cfg, carry, *, steps, eos_id, pad_id,
             params, cfg, tok[:, None], causal=True,
             attention_mask=active[:, None].astype(jnp.int32),
             positions=row_pos[:, None],
-            cache=cache, row_offsets=row_lens,
+            cache=cache, row_offsets=row_lens, shard_rows=shard,
         )
         logits = logits_from_hidden(params, cfg, hidden)[:, 0]
         if sample:
@@ -626,10 +626,11 @@ def _decode_chunk_program(params, cfg, carry, *, steps, eos_id, pad_id,
 @functools.partial(
     jax.jit,
     donate_argnums=(2,),
-    static_argnames=("cfg", "steps", "ngram", "k", "eos_id", "pad_id"),
+    static_argnames=("cfg", "steps", "ngram", "k", "eos_id", "pad_id",
+                     "shard"),
 )
 def _spec_chunk_program(params, cfg, carry, *, steps, ngram, k, eos_id,
-                        pad_id):
+                        pad_id, shard=None):
     """`steps` SPECULATIVE pool iterations on device: each iteration
     proposes k tokens per row by prompt lookup over the row's own history,
     verifies all k+1 in one per-row-offset forward, and emits the accepted
@@ -659,6 +660,7 @@ def _spec_chunk_program(params, cfg, carry, *, steps, ngram, k, eos_id,
         hidden, cache, _ = forward(
             params, cfg, chunk, attention_mask=step_mask, causal=True,
             positions=positions, cache=cache, row_offsets=row_lens,
+            shard_rows=shard,
         )
         greedy = jnp.argmax(
             logits_from_hidden(params, cfg, hidden), axis=-1
@@ -809,8 +811,6 @@ class ServingEngine:
         self.paged = paged
         self.page = page_size
         if paged:
-            if mesh is not None:
-                raise NotImplementedError("paged pools are single-chip for now")
             if max_len % page_size:
                 raise ValueError(f"max_len {max_len} % page {page_size} != 0")
             # buckets must be page-aligned so a request's private tail
@@ -836,6 +836,7 @@ class ServingEngine:
         # collectives (mirrors GritLM's mesh-sharded generate path,
         # gritlm.py:436-484). mesh=None → single default device.
         self.mesh = mesh
+        self._shard_rows = None  # (mesh, axes) — paged pools on a mesh
         self._put_rows = jnp.asarray  # prefill inputs [rows, bucket]
         _put_vec = jnp.asarray  # carry vectors [B]
         _put_cache = lambda c: c
@@ -858,14 +859,33 @@ class ServingEngine:
             row1 = NamedSharding(mesh, P(None, axes))
             params = shard_params(mesh, params)
             _put_vec = lambda x: jax.device_put(jnp.asarray(x), batch)
-            _put_cache = lambda c: c._replace(
-                k=jax.device_put(c.k, row1),
-                v=jax.device_put(c.v, row1),
-                mask=jax.device_put(c.mask, batch),
-                **(dict(k_scale=jax.device_put(c.k_scale, row1),
-                        v_scale=jax.device_put(c.v_scale, row1))
-                   if c.quantized else {}),
-            )
+            if paged:
+                # paged pools on a mesh: rows (page table, slot mask)
+                # shard over the batch axes; the page POOL replicates, so
+                # pinned prefix pages are shared zero-copy across shards
+                # and the host allocator stays shard-oblivious. The paged
+                # kernel runs per-shard via shard_map inside forward
+                # (transformer.py shard_rows).
+                rep = NamedSharding(mesh, P())
+                self._shard_rows = (mesh, axes)
+                _put_cache = lambda c: c._replace(
+                    k=jax.device_put(c.k, rep),
+                    v=jax.device_put(c.v, rep),
+                    mask=jax.device_put(c.mask, batch),
+                    page_table=jax.device_put(c.page_table, batch),
+                    **(dict(k_scale=jax.device_put(c.k_scale, rep),
+                            v_scale=jax.device_put(c.v_scale, rep))
+                       if c.quantized else {}),
+                )
+            else:
+                _put_cache = lambda c: c._replace(
+                    k=jax.device_put(c.k, row1),
+                    v=jax.device_put(c.v, row1),
+                    mask=jax.device_put(c.mask, batch),
+                    **(dict(k_scale=jax.device_put(c.k_scale, row1),
+                            v_scale=jax.device_put(c.v_scale, row1))
+                       if c.quantized else {}),
+                )
             self._put_rows = lambda x: (
                 jax.device_put(jnp.asarray(x), batch)
                 if x.shape[0] % self._batch_shards == 0 else jnp.asarray(x)
@@ -873,11 +893,11 @@ class ServingEngine:
         self.params = params
 
         self.kv_quant = kv_quant
-        pool = (
+        pool = _put_cache(
             init_paged_cache(cfg, max_batch, max_len, self.pool_pages,
                              page=page_size, quant=kv_quant)
             if paged else
-            _put_cache(init_cache(cfg, max_batch, max_len, quant=kv_quant))
+            init_cache(cfg, max_batch, max_len, quant=kv_quant)
         )
         self.sampling = sampling
         self.carry = (
@@ -1537,12 +1557,14 @@ class ServingEngine:
                     self.params, self.cfg, self.carry,
                     steps=self.chunk_size, ngram=self.spec_ngram,
                     k=self.spec_k, eos_id=self.eos_id, pad_id=self.pad_id,
+                    shard=self._shard_rows,
                 )
             else:
                 self.carry, toks, emitted = _decode_chunk_program(
                     self.params, self.cfg, self.carry,
                     steps=self.chunk_size, eos_id=self.eos_id,
                     pad_id=self.pad_id, sample=self.sampling,
+                    shard=self._shard_rows,
                 )
             toks.copy_to_host_async()
             emitted.copy_to_host_async()

@@ -201,3 +201,63 @@ def test_paged_causal_chunk_per_row_offsets():
             np.asarray(got), np.asarray(want), atol=2e-2, rtol=2e-2,
             err_msg=f"dh={dh}",
         )
+
+
+def test_paged_kernel_under_shard_map():
+    """Multi-chip paged serving's kernel contract: paged_decode inside
+    shard_map over the batch axes (rows/page-table/mask sharded, page
+    pool replicated) is bit-identical to the single-call kernel — the
+    Pallas kernel geometry (KD=128, page=128), not the gather fallback.
+    This is the per-shard program transformer.forward(shard_rows=) runs
+    for ServingEngine(paged=True, mesh=...)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from gritlm_tpu.parallel import MeshConfig, make_mesh
+
+    B, h, kv, dh, page, n_pages, maxp, L = 8, 8, 2, 64, 128, 16, 4, 2
+    KD = kv * dh
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, 1, h, dh)), jnp.float32)
+    kp = jnp.asarray(rng.standard_normal((L, n_pages, page, KD)), jnp.float32)
+    vp = jnp.asarray(rng.standard_normal((L, n_pages, page, KD)), jnp.float32)
+    pt = jnp.asarray(rng.integers(1, n_pages, (B, maxp)), jnp.int32)
+    lens = rng.integers(1, maxp * page, (B,))
+    mask = jnp.asarray(
+        (np.arange(maxp * page)[None, :] < lens[:, None]).astype(np.int32))
+    ref = paged_decode(q, kp, vp, pt, mask, layer=1, num_kv_heads=kv)
+
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    axes = ("data", "fsdp")
+
+    def local(q, kp, vp, pt, m, l, off):
+        return paged_decode(q, kp, vp, pt, m, layer=l[0], num_kv_heads=kv,
+                            causal=False, offset=off)
+
+    f = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axes), P(), P(), P(axes), P(axes), P(), P(axes)),
+        out_specs=P(axes), check_vma=False)
+    out = jax.jit(f)(q, kp, vp, pt, mask, jnp.asarray([1], jnp.int32),
+                     jnp.zeros((B,), jnp.int32))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+    # causal verify-chunk path (S > 1, per-row offsets) — the meshed
+    # SPECULATIVE pool's kernel shape
+    S = 3
+    q2 = jnp.asarray(rng.standard_normal((B, S, h, dh)), jnp.float32)
+    off = jnp.asarray(np.minimum(lens - 1, maxp * page - S), jnp.int32)
+    ref2 = paged_decode(q2, kp, vp, pt, mask, layer=0, num_kv_heads=kv,
+                        causal=True, offset=off)
+
+    def local2(q, kp, vp, pt, m, l, off):
+        return paged_decode(q, kp, vp, pt, m, layer=l[0], num_kv_heads=kv,
+                            causal=True, offset=off)
+
+    f2 = shard_map(
+        local2, mesh=mesh,
+        in_specs=(P(axes), P(), P(), P(axes), P(axes), P(), P(axes)),
+        out_specs=P(axes), check_vma=False)
+    out2 = jax.jit(f2)(q2, kp, vp, pt, mask, jnp.asarray([0], jnp.int32),
+                       off)
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref2))

@@ -280,6 +280,22 @@ def test_speculative_multichip_matches_single_device():
         r2 = e_mesh.answer_batch(list(queries), mode=mode)
         assert [r.answer for r in r1] == [r.answer for r in r2], mode
 
+    # paged serving over the SAME mesh (the full composition: retrieved
+    # doc caches pinned into shared pool pages, page table sharded over
+    # the batch axes, pool replicated, kernel under shard_map) — answers
+    # must equal the single-device lockstep doc-cache mode
+    e_one.precompute_all_doc_caches(batch_size=4)
+    e_mesh._doc_store = e_one._doc_store  # identical caches, bf16-safe
+    lockstep = [r.answer for r in e_one.answer_batch(
+        list(queries), mode=CacheMode.DOC)]
+    kw = dict(max_new_tokens=6, slots=8, chunk_size=2, pool_max_len=512,
+              prompt_buckets=(64, 128, 256), paged=True, page_size=16)
+    served = e_mesh.serve(list(queries), **kw)
+    assert [r.answer for r in served] == lockstep
+    spec = e_mesh.serve(list(queries), speculative=True, spec_ngram=2,
+                        spec_k=3, **kw)
+    assert [r.answer for r in spec] == lockstep
+
 
 def test_serve_matches_lockstep_doc_mode(engine):
     """Continuous-batching RAG serving (RAGEngine.serve): same doc-store

@@ -259,6 +259,55 @@ def test_mesh_sharded_engine_matches_oracle(model, speculative):
     _check_parity(cfg, params, done, reqs)
 
 
+@pytest.mark.parametrize("speculative,kv_quant",
+                         [(False, False), (True, False), (False, True)])
+def test_paged_pool_on_mesh_matches_oracle(model, speculative, kv_quant):
+    """Paged pools over a GSPMD mesh: rows (page table, slot mask, carry)
+    shard over (data=4, fsdp=2); the page POOL replicates, so a pinned
+    prefix's pages serve rows on every shard zero-copy. The paged kernel
+    runs per-shard via shard_map (transformer.forward shard_rows) —
+    completions stay token-exact vs the single-device solo oracle, with
+    prefix continuation and speculation composing."""
+    from gritlm_tpu.parallel import MeshConfig, make_mesh
+
+    cfg, params = model
+    mesh = make_mesh(MeshConfig(data=4, fsdp=2))
+    kw = (dict(speculative=True, spec_ngram=2, spec_k=3)
+          if speculative else {})
+    reqs = _requests(cfg, [3, 9, 5, 12, 7])
+    eng = ServingEngine(
+        cfg, params, max_batch=8, max_len=64, chunk_size=4,
+        prompt_buckets=(16,), mesh=mesh, paged=True, page_size=8,
+        kv_quant=kv_quant, **kw,
+    )
+    if kv_quant:
+        done = eng.run(reqs)
+        # int8 pools round K/V; bf16 cases pin parity — require mechanics
+        assert len(done) == len(reqs)
+        assert all(1 <= len(c.token_ids) <= MAXNEW for c in done)
+        return
+    # a registered prefix shared by requests that land on DIFFERENT
+    # batch shards (8 slots over 8 devices → one row each)
+    rng = np.random.default_rng(11)
+    doc = rng.integers(3, cfg.vocab_size, size=13).tolist()
+    eng.register_prefix("doc0", _doc_entry(cfg, params, doc))
+    prompts = [rng.integers(3, cfg.vocab_size, size=n).tolist()
+               for n in (4, 7, 5)]
+    preqs = [Request(input_ids=p, max_new_tokens=MAXNEW,
+                     request_id=f"p{i}", prefix="doc0",
+                     **(dict(hist_ids=doc) if speculative else {}))
+             for i, p in enumerate(prompts)]
+    done = eng.run(reqs + preqs)
+    by_id = {c.request_id: c.token_ids for c in done}
+    assert len(by_id) == len(reqs) + len(preqs)
+    for r in reqs:
+        assert by_id[r.request_id] == _oracle(
+            cfg, params, r.input_ids, r.max_new_tokens), r.request_id
+    for r, p in zip(preqs, prompts):
+        assert by_id[r.request_id] == _oracle(
+            cfg, params, doc + p, r.max_new_tokens), r.request_id
+
+
 @pytest.mark.parametrize("kv_quant", [False, True])
 def test_paged_pool_matches_dense_engine(model, kv_quant):
     """paged=True must be invisible to outputs: same requests through a
