@@ -937,12 +937,27 @@ def apply_layer_stack(
     remat: bool = False,
     remat_policy: Optional[str] = None,
     ring_axis: Optional[str] = None,
-) -> jax.Array:
+    collect_router_stats: bool = False,
+):
     """Run a (slice of the) stacked layer pytree over x — no cache, no router
     outputs. The scan body matches forward()'s layer_fn; factored out so the
     pipeline-parallel schedule (parallel/pipeline.py) and the
     sequence-parallel path (parallel/seqpar.py, via `ring_axis`) can run it
-    on their shards."""
+    on their shards.
+
+    `collect_router_stats=True` (MoE training under PP/SP) additionally
+    returns the load-balancing-loss numerators summed over this slice's
+    layers and tokens: (cnt [E] — masked top-k route counts, prob [E] —
+    masked router-prob sums). load_balancing_loss decomposes as
+    Σ_e cnt_e·prob_e·E/(tokens·L)² with both numerators summed over ALL
+    layers (HF Mixtral concatenates layers before the mean,
+    scripts/modeling_mixtral_gritlm.py:135-138), so per-slice/per-shard
+    partial sums psum'ed over the stage/seq axes reproduce it exactly."""
+    w = None
+    if collect_router_stats:
+        w = (attention_mask if attention_mask is not None
+             else jnp.ones(x.shape[:2], jnp.int32))
+        w = w.reshape(-1, 1).astype(jnp.float32)  # [T, 1]
 
     def layer_fn(carry, lp):
         x = carry
@@ -953,15 +968,33 @@ def apply_layer_stack(
         )
         x = x + attn_out
         h = rms_norm(x, lp["ln2"]["scale"], cfg.rms_norm_eps)
+        stats = None
         if cfg.is_moe:
-            mlp_out, _, _ = _moe_mlp(lp["moe"], h, cfg)
+            mlp_out, router_logits, _ = _moe_mlp(lp["moe"], h, cfg)
+            if collect_router_stats:
+                # same fp32 softmax/top-k as load_balancing_loss
+                probs = jax.nn.softmax(
+                    router_logits.astype(jnp.float32), axis=-1)
+                _, top_idx = jax.lax.top_k(probs, cfg.num_experts_per_tok)
+                onehot = jax.nn.one_hot(
+                    top_idx, cfg.num_local_experts, dtype=jnp.float32)
+                cnt = jnp.sum(onehot * w[:, :, None], axis=(0, 1))  # [E]
+                prob = jnp.sum(probs * w, axis=0)  # [E]
+                stats = (cnt, prob)
         else:
             mlp_out = _dense_mlp(lp["mlp"], h)
-        return x + mlp_out, None
+        if collect_router_stats and stats is None:
+            z = jnp.zeros((getattr(cfg, "num_local_experts", 1) or 1,),
+                          jnp.float32)
+            stats = (z, z)
+        return x + mlp_out, (stats if collect_router_stats else None)
 
     if remat:
         layer_fn = _remat(layer_fn, remat_policy)
-    x, _ = jax.lax.scan(layer_fn, x, layer_params)
+    x, ys = jax.lax.scan(layer_fn, x, layer_params)
+    if collect_router_stats:
+        cnt, prob = ys
+        return x, (jnp.sum(cnt, axis=0), jnp.sum(prob, axis=0))
     return x
 
 

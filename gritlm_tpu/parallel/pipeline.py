@@ -74,9 +74,15 @@ def pipeline_apply_layers(
     causal: bool,
     n_microbatches: int,
     remat: bool = True,
-) -> jax.Array:
+    collect_router_stats: bool = False,
+):
     """Run the full layer stack through the pipeline. Returns hidden [B,S,D]
-    (pre-final-norm). Requires L % n_stages == 0 and (per-data-shard batch)
+    (pre-final-norm); with `collect_router_stats=True` (MoE training)
+    returns (hidden, (cnt [E], prob [E])) — the load-balancing numerators
+    summed over ALL layers and the GLOBAL batch (each stage accumulates
+    its layer slice's stats per real microbatch tick, then a psum over
+    (stage, data, fsdp) makes them global; see apply_layer_stack).
+    Requires L % n_stages == 0 and (per-data-shard batch)
     % n_microbatches == 0."""
     n_stages = mesh.shape[AXIS_STAGE]
     L = jax.tree_util.tree_leaves(layer_params)[0].shape[0]
@@ -86,6 +92,7 @@ def pipeline_apply_layers(
         return apply_layer_stack(
             layer_params, x, positions, attention_mask, cfg,
             causal=causal, remat=remat,
+            collect_router_stats=collect_router_stats,
         )
 
     B = x.shape[0]
@@ -111,7 +118,7 @@ def pipeline_apply_layers(
     @functools.partial(
         shard_map, mesh=mesh,
         in_specs=(lp_spec, x_spec, m_spec, m_spec),
-        out_specs=x_spec,
+        out_specs=(x_spec, (P(), P())) if collect_router_stats else x_spec,
         check_vma=False,
     )
     def run(lp_local, x_local, pos_local, mask_local):
@@ -140,6 +147,7 @@ def pipeline_apply_layers(
             return apply_layer_stack(
                 lp_local, act, pos_mb, mask_mb, cfg,
                 causal=causal, remat=remat,
+                collect_router_stats=collect_router_stats,
             )
 
         zeros_act = jnp.zeros_like(xm[0])
@@ -150,23 +158,34 @@ def pipeline_apply_layers(
         # branches, which is what the TPU wants.
         perm = [(i, (i + 1) % n_stages) for i in range(n_stages)]
 
+        E = getattr(cfg, "num_local_experts", 1) or 1
+        zero_stats = (jnp.zeros((E,), jnp.float32),
+                      jnp.zeros((E,), jnp.float32))
+
         def tick(carry, t):
-            act_in = carry
+            act_in, acc = carry
             mb_idx = jnp.clip(t - s, 0, M - 1)
             my_in = jnp.where(s == 0, xm[jnp.clip(t, 0, M - 1)], act_in)
             pos_mb = posm[mb_idx]
             mask_mb = maskm[mb_idx]
             y = stage_compute(my_in, pos_mb, mask_mb)
+            if collect_router_stats:
+                # bubble ticks compute garbage microbatches (uniform
+                # control flow); gate their stats so each real microbatch
+                # contributes exactly once per stage
+                y, (cnt, prob) = y
+                valid = ((t >= s) & (t - s <= M - 1)).astype(jnp.float32)
+                acc = (acc[0] + valid * cnt, acc[1] + valid * prob)
             act_next = jax.lax.ppermute(y, AXIS_STAGE, perm)
             # last stage owns microbatch t-(S-1) when it's in range
             out_idx = t - (n_stages - 1)
             is_mine = (s == n_stages - 1) & (out_idx >= 0)
             out = jnp.where(is_mine, y, 0.0)
-            return act_next, (out, jnp.where(is_mine, out_idx, M))
+            return (act_next, acc), (out, jnp.where(is_mine, out_idx, M))
         # dummy first-stage feed beyond M is clipped; its output is discarded
 
-        _, (outs, idxs) = jax.lax.scan(
-            tick, zeros_act, jnp.arange(n_ticks)
+        (_, stats_acc), (outs, idxs) = jax.lax.scan(
+            tick, (zeros_act, zero_stats), jnp.arange(n_ticks)
         )
         # scatter collected outputs into [M, mb, S, D]; rows with idx == M
         # (other stages / bubble ticks) fall into a discard slot
@@ -175,7 +194,17 @@ def pipeline_apply_layers(
         result = buf[:M]
         # only the last stage holds real outputs → share around the ring
         result = jax.lax.psum(result, AXIS_STAGE)
-        return result.reshape(b, *x_local.shape[1:])
+        result = result.reshape(b, *x_local.shape[1:])
+        if collect_router_stats:
+            # per-stage layer-slice sums over the local batch shard →
+            # global numerators (tokens count is computed by the caller
+            # from the global mask)
+            axes = (AXIS_STAGE,) + tuple(
+                a for a in batch_axes if mesh.shape.get(a, 1) > 1)
+            stats = jax.tree_util.tree_map(
+                lambda v: jax.lax.psum(v, axes), stats_acc)
+            return result, stats
+        return result
 
     return run(layer_params, x, positions, mask)
 
@@ -190,10 +219,12 @@ def pipeline_forward(
     causal: bool = True,
     n_microbatches: int = 4,
     remat: bool = True,
-) -> jax.Array:
+    collect_router_stats: bool = False,
+):
     """Trunk forward with the layer stack pipelined. Returns hidden [B,S,D]
     after the final norm (same contract as transformer.forward without
-    cache/aux)."""
+    cache/aux); with `collect_router_stats=True` returns (hidden,
+    (cnt [E], prob [E])) — see pipeline_apply_layers."""
     from gritlm_tpu.models.transformer import rms_norm
 
     B, S = input_ids.shape
@@ -202,5 +233,10 @@ def pipeline_forward(
     x = pipeline_apply_layers(
         params["layers"], x, positions, attention_mask, cfg, mesh,
         causal=causal, n_microbatches=n_microbatches, remat=remat,
+        collect_router_stats=collect_router_stats,
     )
-    return rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
+    stats = None
+    if collect_router_stats:
+        x, stats = x
+    x = rms_norm(x, params["final_ln"]["scale"], cfg.rms_norm_eps)
+    return (x, stats) if collect_router_stats else x

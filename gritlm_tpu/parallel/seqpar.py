@@ -46,9 +46,13 @@ def sequence_parallel_forward(
     attention_mask: Optional[jax.Array] = None,
     causal: bool = False,  # bidirectional is the embed-mode default
     remat: bool = True,
-) -> jax.Array:
+    collect_router_stats: bool = False,
+):
     """Trunk forward (hidden after final norm) with S sharded over the mesh's
-    `seq` axis. S must divide by the axis size; pad + mask otherwise."""
+    `seq` axis. S must divide by the axis size; pad + mask otherwise.
+    `collect_router_stats=True` (MoE training) additionally returns the
+    global load-balancing numerators (cnt [E], prob [E]) — see
+    transformer.apply_layer_stack."""
     B, S = input_ids.shape
     n_seq = mesh.shape[SEQ_AXIS]
     if S % n_seq:
@@ -68,15 +72,25 @@ def sequence_parallel_forward(
         x = apply_layer_stack(
             p["layers"], x, positions, mask_loc, cfg,
             causal=causal, remat=remat, ring_axis=SEQ_AXIS,
+            collect_router_stats=collect_router_stats,
         )
-        return rms_norm(x, p["final_ln"]["scale"], cfg.rms_norm_eps)
+        stats = None
+        if collect_router_stats:
+            # MoE routing is token-local, so each seq shard's numerators
+            # cover exactly its own tokens — psum makes them global
+            x, stats = x
+            stats = jax.tree_util.tree_map(
+                lambda v: jax.lax.psum(v, SEQ_AXIS), stats)
+        x = rms_norm(x, p["final_ln"]["scale"], cfg.rms_norm_eps)
+        return (x, stats) if collect_router_stats else x
 
-    return shard_map(
+    out = shard_map(
         run, mesh=mesh,
         in_specs=(p_spec, io_spec, io_spec),
-        out_specs=io_spec,
+        out_specs=(io_spec, (P(), P())) if collect_router_stats else io_spec,
         check_vma=False,
     )(params, input_ids, mask)
+    return out
 
 
 def sequence_parallel_encode(

@@ -174,6 +174,18 @@ def generative_loss(
     return loss, dropped
 
 
+def _router_aux_from_stats(stats, cfg: ModelConfig, mask) -> jax.Array:
+    """load_balancing_loss from the pre-summed (cnt [E], prob [E])
+    numerators that the PP/SP trunks return (apply_layer_stack
+    collect_router_stats): Σ_e cnt_e·prob_e·E/(tokens·L)² — identical to
+    load_balancing_loss(router_logits, cfg, mask) since both numerators
+    are summed over all layers before the product (the HF-Mixtral
+    concatenate-layers normalization)."""
+    cnt, prob = stats
+    denom = jnp.maximum(jnp.sum(mask), 1.0) * cfg.num_hidden_layers
+    return jnp.sum((cnt / denom) * (prob / denom)) * cfg.num_local_experts
+
+
 # ---------------------------------------------------------------------------
 # GradCache as scan (cachex design, reference …/grad_cache/cachex/)
 
@@ -431,8 +443,11 @@ def make_pipeline_train_step(
     (parallel/pipeline.py). GradCache composes: gc_chunks > 1 runs the
     scan-GradCache with the pipelined trunk as its encoder — the reference's
     FSDP × GradCache recipe (train_gritlm_8x7b.sh:38-84) plus pipelining it
-    never had. The embedding/head are replicated (tiny). MoE routing stats
-    are not plumbed through the pipeline."""
+    never had. The embedding/head are replicated (tiny). MoE composes:
+    each stage accumulates its layer slice's router load-balancing
+    numerators per microbatch and a psum makes them global — the aux loss
+    matches the GSPMD step exactly (use moe_impl dense/dropless inside
+    stages; gshard capacity would be per-microbatch)."""
     import functools as _ft
 
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -444,16 +459,15 @@ def make_pipeline_train_step(
         pipeline_forward,
     )
 
-    if cfg.is_moe:
-        raise NotImplementedError("pipeline training: dense models only (v1)")
     opt = make_optimizer(tc)
     n_fsdp = mesh.shape.get(AXIS_FSDP, 1)
 
-    def trunk(params, feat, causal):
+    def trunk(params, feat, causal, collect=False):
         return pipeline_forward(
             params, cfg, feat["input_ids"], mesh,
             attention_mask=feat["attention_mask"], causal=causal,
             n_microbatches=n_microbatches, remat=tc.remat,
+            collect_router_stats=collect,
         )
 
     def encode(params, feat):
@@ -473,11 +487,20 @@ def make_pipeline_train_step(
         loss_emb = jnp.zeros((), jnp.float32)
         if "generative" in batch and tc.mode in ("unified", "generative"):
             gen = batch["generative"]
-            hidden = trunk(params, gen, True)
+            if cfg.is_moe:
+                hidden, stats = trunk(params, gen, True, collect=True)
+            else:
+                hidden = trunk(params, gen, True)
             logits = logits_from_hidden(params, cfg, hidden)
             loss_gen = next_token_loss(
                 logits, gen["labels"], tc.loss_gen_type, tc.loss_gen_factor
             )
+            if cfg.is_moe:
+                # same router aux loss as the GSPMD step (generative_loss)
+                coef = (tc.router_aux_coef if tc.router_aux_coef is not None
+                        else cfg.router_aux_loss_coef)
+                loss_gen = loss_gen + coef * _router_aux_from_stats(
+                    stats, cfg, gen["attention_mask"])
         if with_emb and "query" in batch and tc.mode in ("unified", "embedding"):
             q = encode(params, batch["query"])
             p = encode(params, batch["passage"])
@@ -569,8 +592,6 @@ def make_seqpar_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):
         sequence_parallel_forward,
     )
 
-    if cfg.is_moe:
-        raise NotImplementedError("seqpar training: dense models only (v1)")
     opt = make_optimizer(tc)
 
     def encode(params, feat):
@@ -594,16 +615,23 @@ def make_seqpar_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):
         loss_emb = jnp.zeros((), jnp.float32)
         if "generative" in batch and tc.mode in ("unified", "generative"):
             gen = batch["generative"]
-            hidden = sequence_parallel_forward(
+            out = sequence_parallel_forward(
                 params, cfg, gen["input_ids"], mesh,
                 attention_mask=gen["attention_mask"], causal=True,
-                remat=tc.remat,
+                remat=tc.remat, collect_router_stats=cfg.is_moe,
             )
+            hidden, stats = out if cfg.is_moe else (out, None)
             # logits stay S-sharded under GSPMD; the shifted CE reduces them
             logits = logits_from_hidden(params, cfg, hidden)
             loss_gen = next_token_loss(
                 logits, gen["labels"], tc.loss_gen_type, tc.loss_gen_factor
             )
+            if cfg.is_moe:
+                # same router aux loss as the GSPMD step (generative_loss)
+                coef = (tc.router_aux_coef if tc.router_aux_coef is not None
+                        else cfg.router_aux_loss_coef)
+                loss_gen = loss_gen + coef * _router_aux_from_stats(
+                    stats, cfg, gen["attention_mask"])
         if with_emb and "query" in batch and tc.mode in ("unified", "embedding"):
             q = encode(params, batch["query"])
             p = encode(params, batch["passage"])
