@@ -171,37 +171,115 @@ def bench_spec_decode(cfg, params):
     return dt / int(r.num_valid[0]) * 1e3
 
 
+def _ragged_requests(cfg, n=24, seed=5, out_lo=16, out_hi=128):
+    from gritlm_tpu.serving import Request
+
+    rng = np.random.default_rng(seed)
+    plens = rng.integers(300, 1500, n)
+    nnews = rng.integers(out_lo, out_hi, n)
+    return [
+        Request(
+            input_ids=rng.integers(3, cfg.vocab_size, size=int(p)).tolist(),
+            max_new_tokens=int(m), request_id=str(i),
+        )
+        for i, (p, m) in enumerate(zip(plens, nnews))
+    ]
+
+
+def _median_serving_passes(eng, reqs, passes=3):
+    """One warmup pass (compiles + pool allocation) then `passes` measured
+    passes through the SAME engine; returns the median tok/s. VERDICT r3
+    weak-2: rebuilding the engine inside the timed closure made the metric
+    noisy enough to hide regressions — the engine drains fully in run(), so
+    reuse is free and the median de-noises the tunnel."""
+    eng.run(list(reqs))  # warmup
+    rates = []
+    for _ in range(passes):
+        t0 = time.perf_counter()
+        done = eng.run(list(reqs))  # requests are read-only to the engine
+        rates.append(
+            sum(len(c.token_ids) for c in done)
+            / (time.perf_counter() - t0)
+        )
+    return float(np.median(rates))
+
+
 def bench_serving(cfg, params):
     """Continuous-batching serving throughput (tok/s) on a fixed ragged
     workload: 24 requests, prompts 300-1500, outputs 16-128, 8 slots —
     the traffic shape the reference's lockstep HF-generate path handles
     worst (measured 1.27x over lockstep batching on v5e,
-    scripts/exp_serving.py). Absolute useful-token throughput, seeded."""
+    scripts/exp_serving.py). Median of 3 passes over one engine."""
+    from gritlm_tpu.serving import ServingEngine
+
+    eng = ServingEngine(
+        cfg, params, max_batch=8, max_len=2048, eos_id=-1,
+        chunk_size=16, prompt_buckets=(512, 1024, 1536),
+    )
+    return _median_serving_passes(eng, _ragged_requests(cfg))
+
+
+def bench_paged_serving(cfg, params):
+    """Paged-pool serving throughput (tok/s) on the same ragged workload:
+    page-table-indirect KV (ops/paged_attention.py) removes the per-slot
+    max_len reservation, so the pool admits more aggressively under mixed
+    lengths (measured 1231 vs 939 tok/s lockstep on v5e, docs/ROUND3.md).
+    Ratcheted so the paged kernel can't silently regress (r3 weak-3)."""
+    from gritlm_tpu.serving import ServingEngine
+
+    eng = ServingEngine(
+        cfg, params, max_batch=8, max_len=2048, eos_id=-1,
+        chunk_size=16, prompt_buckets=(512, 1024, 1536),
+        paged=True, page_size=256,
+    )
+    return _median_serving_passes(eng, _ragged_requests(cfg))
+
+
+def bench_prefix_serving(cfg, params):
+    """Hot-document prefix-sharing throughput (tok/s): 24 queries against
+    ONE shared 3000-token document pinned into pool pages once
+    (register_prefix); every request's page table references the shared
+    pages zero-copy. The RAG pattern the reference serves by re-uploading
+    the doc KV per batch (rag/eval.py:237-302). Ratchets the full
+    prefix-continuation path: page pin, continuation prefill gather,
+    paged decode."""
+    import jax
+    import jax.numpy as jnp
+
+    from gritlm_tpu.models.transformer import forward, init_cache
     from gritlm_tpu.serving import Request, ServingEngine
 
-    rng = np.random.default_rng(5)
-    plens = rng.integers(300, 1500, 24)
-    nnews = rng.integers(16, 128, 24)
+    rng = np.random.default_rng(11)
+    doc_tokens = 3000
+    doc = rng.integers(3, cfg.vocab_size, size=doc_tokens).tolist()
+    cache = init_cache(cfg, 1, doc_tokens)
+    _, cache, _ = forward(
+        params, cfg, jnp.asarray(doc, jnp.int32)[None, :], causal=True,
+        cache=cache,
+    )
+    entry = (np.asarray(cache.k[:, 0]), np.asarray(cache.v[:, 0]),
+             doc_tokens, None, None)
+    del cache
+
+    page = 256
+    dbucket = -(-doc_tokens // page) * page
+    max_len = -(-(dbucket + 256 + 32 + page) // page) * page
+    B = 8
+    eng = ServingEngine(
+        cfg, params, max_batch=B, max_len=max_len, eos_id=-1,
+        chunk_size=16, prompt_buckets=(256, dbucket),
+        paged=True, page_size=page,
+        pool_pages=B * (max_len // page) + (dbucket // page) + 1,
+    )
+    eng.register_prefix("doc", entry)
     reqs = [
         Request(
             input_ids=rng.integers(3, cfg.vocab_size, size=int(n)).tolist(),
-            max_new_tokens=int(m), request_id=str(i),
+            max_new_tokens=32, request_id=str(i), prefix="doc",
         )
-        for i, (n, m) in enumerate(zip(plens, nnews))
+        for i, n in enumerate(rng.integers(16, 120, 24))
     ]
-
-    def go():
-        eng = ServingEngine(
-            cfg, params, max_batch=8, max_len=2048, eos_id=-1,
-            chunk_size=16, prompt_buckets=(512, 1024, 1536),
-        )
-        done = eng.run(list(reqs))
-        return sum(len(c.token_ids) for c in done)
-
-    go()  # warmup: compiles prefill buckets + insert + decode chunk
-    t0 = time.perf_counter()
-    tokens = go()
-    return tokens / (time.perf_counter() - t0)
+    return _median_serving_passes(eng, reqs)
 
 
 def bench_spec_serving(cfg, params):
@@ -222,19 +300,62 @@ def bench_spec_serving(cfg, params):
         reqs.append(Request(input_ids=ids, max_new_tokens=int(m),
                             request_id=str(i)))
 
-    def go():
-        eng = ServingEngine(
-            cfg, params, max_batch=8, max_len=2048, eos_id=-1,
-            chunk_size=16, prompt_buckets=(512, 1024, 1536),
-            speculative=True, spec_ngram=3, spec_k=7,
-        )
-        done = eng.run(list(reqs))
-        return sum(len(c.token_ids) for c in done)
+    eng = ServingEngine(
+        cfg, params, max_batch=8, max_len=2048, eos_id=-1,
+        chunk_size=16, prompt_buckets=(512, 1024, 1536),
+        speculative=True, spec_ngram=3, spec_k=7,
+    )
+    return _median_serving_passes(eng, reqs)
 
-    go()  # warmup
-    t0 = time.perf_counter()
-    tokens = go()
-    return tokens / (time.perf_counter() - t0)
+
+def _moe_bench_config(moe_impl: str = "dropless"):
+    """v5e-fitting Mixtral-shaped config (VERDICT r3 next-3): 8 experts ×
+    ~88M/layer × 12 layers ≈ 1.1B total params (top-2 ⇒ ~0.35B active per
+    token), bf16 ≈ 2.2GB HBM — the MoE analogue of _bench_config. Routing
+    semantics: reference scripts/modeling_mixtral_gritlm.py:843-882."""
+    from gritlm_tpu.config import ModelConfig
+
+    return ModelConfig(
+        vocab_size=32000,
+        hidden_size=1024,
+        intermediate_size=3584,
+        num_hidden_layers=12,
+        num_attention_heads=16,
+        num_key_value_heads=8,
+        num_local_experts=8,
+        num_experts_per_tok=2,
+        model_type="mixtral",
+        dtype="bfloat16",
+        moe_impl=moe_impl,
+    )
+
+
+def bench_search(n_docs=1_000_000, dim=1024, k=100, n_queries=256):
+    """Flat-index search throughput (queries/s): synthetic 1M × 1024 bf16
+    corpus (2 GB HBM), k=100, exact mode — the RAG retrieval hot path
+    (reference rag/index.py:101-141 does per-rank matmul+topk over NCCL).
+    Ratcheted so the search kernel can't silently regress (r3 weak-5)."""
+    import jax
+
+    from gritlm_tpu.index.flat import FlatIndex
+
+    rng = np.random.default_rng(13)
+    idx = FlatIndex(dim, n_docs)
+    block = 125_000
+    for a in range(0, n_docs, block):
+        emb = rng.standard_normal((block, dim), dtype=np.float32)
+        idx.add(emb / np.linalg.norm(emb, axis=1, keepdims=True))
+    queries = rng.standard_normal((n_queries, dim), dtype=np.float32)
+    queries /= np.linalg.norm(queries, axis=1, keepdims=True)
+
+    idx.search(queries, k)  # warmup/compile
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        idx.search(queries, k)
+        times.append(time.perf_counter() - t0)
+    del idx
+    return n_queries / float(np.median(times))
 
 
 def bench_train(cfg, params):
@@ -312,8 +433,20 @@ def main() -> None:
     decode_ms_w4 = bench_decode(cfg, params, quant=True, weight_quant=4)
     spec_ms = bench_spec_decode(cfg, params)
     serving_tok_s = bench_serving(cfg, params)
+    paged_serving_tok_s = bench_paged_serving(cfg, params)
+    prefix_serving_tok_s = bench_prefix_serving(cfg, params)
     spec_serving_tok_s = bench_spec_serving(cfg, params)
     train_tok_s = bench_train(cfg, params)
+    del params  # free the dense 1B before the MoE model comes up
+
+    moe_cfg = _moe_bench_config()
+    moe_params = init_params(moe_cfg, jax.random.PRNGKey(1),
+                             with_lm_head=True)
+    moe_embeds_per_sec = bench_encode(moe_cfg, moe_params)
+    moe_decode_ms = bench_decode(moe_cfg, moe_params)
+    del moe_params
+
+    search_qps = bench_search()
 
     record = {}
     if os.path.exists(RECORD_FILE):
@@ -343,8 +476,14 @@ def main() -> None:
     vs_spec = ratchet("spec_decode_ms_per_token", spec_ms,
                       higher_is_better=False)
     vs_srv = ratchet("serving_tokens_per_sec", serving_tok_s)
+    vs_psrv = ratchet("paged_serving_tokens_per_sec", paged_serving_tok_s)
+    vs_xsrv = ratchet("prefix_serving_tokens_per_sec", prefix_serving_tok_s)
     vs_ssrv = ratchet("spec_serving_tokens_per_sec", spec_serving_tok_s)
     vs_tr = ratchet("train_tokens_per_sec", train_tok_s)
+    vs_menc = ratchet("moe_embeds_per_sec", moe_embeds_per_sec)
+    vs_mdec = ratchet("moe_decode_ms_per_token", moe_decode_ms,
+                      higher_is_better=False)
+    vs_search = ratchet("search_qps", search_qps)
     record.update({
         "config": "1B-class bf16",
         "backend": jax.default_backend(),
@@ -381,12 +520,27 @@ def main() -> None:
             {"metric": "serving_tokens_per_sec_ragged24_b8_1b_bf16",
              "value": round(serving_tok_s, 1), "unit": "tokens/s",
              "vs_baseline": vs_srv},
+            {"metric": "paged_serving_tokens_per_sec_ragged24_b8_1b_bf16",
+             "value": round(paged_serving_tok_s, 1), "unit": "tokens/s",
+             "vs_baseline": vs_psrv},
+            {"metric": "prefix_serving_tokens_per_sec_hotdoc3k_b8_1b_bf16",
+             "value": round(prefix_serving_tok_s, 1), "unit": "tokens/s",
+             "vs_baseline": vs_xsrv},
             {"metric": "spec_serving_tokens_per_sec_rep24_b8_1b_bf16",
              "value": round(spec_serving_tok_s, 1), "unit": "tokens/s",
              "vs_baseline": vs_ssrv},
             {"metric": "train_tokens_per_sec_unified_1b_bf16",
              "value": round(train_tok_s, 1), "unit": "tokens/s",
              "vs_baseline": vs_tr},
+            {"metric": "moe_embeds_per_sec_seq512_8x88m_top2_bf16",
+             "value": round(moe_embeds_per_sec, 2), "unit": "embeds/s",
+             "vs_baseline": vs_menc},
+            {"metric": "moe_decode_ms_per_token_4k_cache_b8_8x88m_bf16",
+             "value": round(moe_decode_ms, 3), "unit": "ms/token",
+             "vs_baseline": vs_mdec},
+            {"metric": "search_qps_1m_1024d_k100_bf16",
+             "value": round(search_qps, 1), "unit": "queries/s",
+             "vs_baseline": vs_search},
         ],
     }))
 

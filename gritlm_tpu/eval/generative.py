@@ -18,7 +18,6 @@ gritlm_tpu.generate.
 
 from __future__ import annotations
 
-import multiprocessing
 import re
 from typing import Dict, List, Optional, Sequence
 
@@ -291,28 +290,23 @@ def eval_qa_generation(
 
 # -------------------------------------------------------------- code (pass@1)
 
-def _exec_worker(code: str, q) -> None:
-    try:
-        g: dict = {}
-        exec(code, g)  # noqa: S102 — sandboxed in a separate process
-        q.put(True)
-    except BaseException:
-        q.put(False)
-
-
 def run_candidate(candidate: str, test_code: str, timeout: float = 5.0) -> bool:
-    """Execute candidate + tests in a subprocess with a timeout (the
-    bigcode-harness execution model, minimally)."""
-    q: multiprocessing.Queue = multiprocessing.Queue()
-    p = multiprocessing.Process(target=_exec_worker,
-                                args=(candidate + "\n" + test_code, q))
-    p.start()
-    p.join(timeout)
-    if p.is_alive():
-        p.terminate()
-        p.join()
+    """Execute candidate + tests in a fresh interpreter subprocess with a
+    timeout (the bigcode-harness execution model, minimally). A direct
+    `python -c` subprocess rather than multiprocessing: fork() under a
+    multithreaded JAX runtime deadlocks/warns, and spawn re-imports the
+    parent's __main__ (broken under `python -` / embedded runners)."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", candidate + "\n" + test_code],
+            capture_output=True, timeout=timeout,
+        )
+        return proc.returncode == 0
+    except (subprocess.TimeoutExpired, OSError):
         return False
-    return not q.empty() and q.get()
 
 
 def eval_code_pass1(

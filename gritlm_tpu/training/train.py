@@ -450,6 +450,14 @@ def make_pipeline_train_step(
     stages; gshard capacity would be per-microbatch)."""
     import functools as _ft
 
+    if cfg.is_moe and cfg.moe_impl == "gshard":
+        raise NotImplementedError(
+            "moe_impl='gshard' under pipeline parallelism: expert capacity "
+            "C = ceil(k*T/E*cf) would be computed per-microbatch, so token "
+            "dropping (and the loss) diverges from the GSPMD step. Use "
+            "moe_impl='dense' or 'dropless' inside pipeline stages."
+        )
+
     from jax.sharding import NamedSharding, PartitionSpec as P
 
     from gritlm_tpu.models.transformer import logits_from_hidden
@@ -581,8 +589,20 @@ def make_seqpar_train_step(mesh, cfg: ModelConfig, tc: TrainConfig):
     the batch dim while each chunk's sequences stay ring-sharded) so huge
     contrastive batches of long documents fit. Params and optimizer state
     are replicated (combine with FSDP later if the model itself doesn't
-    fit). All batch sequences must divide the seq axis size."""
+    fit). All batch sequences must divide the seq axis size. MoE composes
+    with moe_impl dense/dropless (router stats psum over the ring makes the
+    aux loss global); gshard is rejected — its expert capacity would be
+    computed per-sequence-shard and token dropping would diverge from the
+    GSPMD step."""
     import functools as _ft
+
+    if cfg.is_moe and cfg.moe_impl == "gshard":
+        raise NotImplementedError(
+            "moe_impl='gshard' under sequence parallelism: expert capacity "
+            "C = ceil(k*T/E*cf) would be computed per-seq-shard, so token "
+            "dropping (and the loss) diverges from the GSPMD step. Use "
+            "moe_impl='dense' or 'dropless'."
+        )
 
     from jax.sharding import NamedSharding, PartitionSpec as P
 

@@ -107,14 +107,81 @@ def test_seqpar_train_step_matches_gspmd(cfg4, setup):
     assert int(jax.device_get(state.step)) == 3
 
 
-def test_pipeline_rejects_unsupported(cfg4):
+# ---------------------------------------------------------------------------
+# MoE × PP / SP (VERDICT r3 next-1): the snapshot commit taught the PP/SP
+# trunks to collect router stats; these tests positively pin the resulting
+# aux-loss-bearing losses to the GSPMD MoE step (dense AND dropless impls).
+# gshard stays rejected — its expert capacity is per-microbatch/per-shard.
+
+
+@pytest.fixture(scope="module", params=["dense", "dropless"])
+def moe_setup(request):
+    """GSPMD MoE baseline losses (incl. router aux) for tiny_mixtral."""
     from gritlm_tpu.config import tiny_mixtral
 
+    cfg = dataclasses.replace(tiny_mixtral(), moe_impl=request.param)
+    params = _host_copy(init_params(cfg, jax.random.PRNGKey(0)))
+    tc = TrainConfig(mode="unified", total_steps=4, gc_chunks=1, remat=True)
+    batch = _batch()
+    mesh = make_mesh(MeshConfig(data=8), devices=jax.devices()[:8])
+    run, shard = make_sharded_train_step(mesh, cfg, tc)
+    state = shard(init_train_state(_host_copy(params), tc))
+    _, m0 = run(state, batch)
+    assert float(m0.loss_gen) > 0 and float(m0.loss_emb) > 0
+    return cfg, params, tc, batch, (float(m0.loss), float(m0.loss_emb),
+                                    float(m0.loss_gen))
+
+
+def test_pipeline_moe_matches_gspmd(moe_setup):
+    """Pipelined MoE train step ≡ GSPMD MoE step: loss, loss_emb AND
+    loss_gen (which carries the router load-balancing aux loss — any error
+    in the per-stage stat psum shows up here). Reference aux semantics:
+    scripts/modeling_mixtral_gritlm.py:80-153."""
+    cfg, params, tc, batch, (l0, le0, lg0) = moe_setup
     mesh = make_mesh(MeshConfig(stage=2, data=4), devices=jax.devices()[:8])
-    with pytest.raises(NotImplementedError):
-        make_pipeline_train_step(
-            mesh, tiny_mixtral(), TrainConfig(mode="unified")
-        )
+    run, shard = make_pipeline_train_step(mesh, cfg, tc, n_microbatches=2)
+    state = shard(init_train_state(_host_copy(params), tc))
+    state, m = run(state, batch)
+    assert abs(float(m.loss) - l0) < 2e-3, (float(m.loss), l0)
+    assert abs(float(m.loss_emb) - le0) < 2e-3
+    assert abs(float(m.loss_gen) - lg0) < 2e-3
+    prev = float(m.loss)
+    for _ in range(2):
+        state, m = run(state, batch)
+    assert np.isfinite(float(m.loss)) and float(m.loss) < prev
+
+
+def test_seqpar_moe_matches_gspmd(moe_setup):
+    """Ring-attention MoE train step ≡ GSPMD MoE step, incl. router aux."""
+    from gritlm_tpu.parallel.seqpar import make_seq_mesh
+
+    cfg, params, tc, batch, (l0, le0, lg0) = moe_setup
+    mesh = make_seq_mesh(8)
+    run, shard = make_seqpar_train_step(mesh, cfg, tc)
+    state = shard(init_train_state(_host_copy(params), tc))
+    state, m = run(state, batch)
+    assert abs(float(m.loss) - l0) < 2e-3, (float(m.loss), l0)
+    assert abs(float(m.loss_emb) - le0) < 2e-3
+    assert abs(float(m.loss_gen) - lg0) < 2e-3
+    prev = float(m.loss)
+    for _ in range(2):
+        state, m = run(state, batch)
+    assert np.isfinite(float(m.loss)) and float(m.loss) < prev
+
+
+def test_pipeline_seqpar_reject_gshard(cfg4):
+    """gshard under PP/SP computes capacity per-microbatch/per-seq-shard →
+    diverges from GSPMD; both factories must refuse it loudly."""
+    from gritlm_tpu.config import tiny_mixtral
+    from gritlm_tpu.parallel.seqpar import make_seq_mesh
+
+    cfg = dataclasses.replace(tiny_mixtral(), moe_impl="gshard")
+    mesh = make_mesh(MeshConfig(stage=2, data=4), devices=jax.devices()[:8])
+    with pytest.raises(NotImplementedError, match="gshard"):
+        make_pipeline_train_step(mesh, cfg, TrainConfig(mode="unified"))
+    with pytest.raises(NotImplementedError, match="gshard"):
+        make_seqpar_train_step(make_seq_mesh(8), cfg,
+                               TrainConfig(mode="unified"))
 
 
 # ---------------------------------------------------------------------------
