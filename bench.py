@@ -46,7 +46,7 @@ def _sync(x):
     return np.asarray(jax.device_get(x.ravel()[0:1]))
 
 
-def bench_encode(cfg, params):
+def bench_encode(cfg, params, b=ENC_B, s=ENC_S, instr=12):
     import jax
     import jax.numpy as jnp
 
@@ -55,9 +55,9 @@ def bench_encode(cfg, params):
     from gritlm_tpu.ops.pooling import mask_instruction
 
     rng = np.random.default_rng(0)
-    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (ENC_B, ENC_S)), jnp.int32)
-    mask = jnp.ones((ENC_B, ENC_S), jnp.int32)
-    instr_lens = jnp.full((ENC_B,), 12, jnp.int32)
+    ids = jnp.asarray(rng.integers(0, cfg.vocab_size, (b, s)), jnp.int32)
+    mask = jnp.ones((b, s), jnp.int32)
+    instr_lens = jnp.full((b,), instr, jnp.int32)
 
     @jax.jit
     def encode_step(params, input_ids, attention_mask, instruction_lens):
@@ -79,7 +79,7 @@ def bench_encode(cfg, params):
     for _ in range(ENC_STEPS):
         out = encode_step(params, ids, mask, instr_lens)
     _sync(out)
-    return ENC_B * ENC_STEPS / (time.perf_counter() - t0)
+    return b * ENC_STEPS / (time.perf_counter() - t0)
 
 
 def bench_decode(cfg, params, quant: bool = False, weight_quant: int = 0):
@@ -308,7 +308,7 @@ def bench_spec_serving(cfg, params):
     return _median_serving_passes(eng, reqs)
 
 
-def _moe_bench_config(moe_impl: str = "dropless"):
+def _moe_bench_config(moe_impl: str = "auto"):
     """v5e-fitting Mixtral-shaped config (VERDICT r3 next-3): 8 experts ×
     ~88M/layer × 12 layers ≈ 1.1B total params (top-2 ⇒ ~0.35B active per
     token), bf16 ≈ 2.2GB HBM — the MoE analogue of _bench_config. Routing
@@ -427,6 +427,11 @@ def main() -> None:
     params = init_params(cfg, jax.random.PRNGKey(0), with_lm_head=True)
 
     embeds_per_sec = bench_encode(cfg, params)
+    # short-prompt encode cell (VERDICT r3 next-8): B=32, S=64 — the MTEB
+    # short-sentence regime rides the einsum fallback (flash needs Sq>=128);
+    # measured at full token-throughput parity with the flash path, this
+    # cell pins that the dispatch threshold stays optimal
+    short_embeds_per_sec = bench_encode(cfg, params, b=32, s=64, instr=4)
     decode_ms = bench_decode(cfg, params)
     decode_ms_q8 = bench_decode(cfg, params, quant=True)
     decode_ms_w8 = bench_decode(cfg, params, quant=True, weight_quant=8)
@@ -466,6 +471,7 @@ def main() -> None:
         return round(vs, 4)
 
     vs_enc = ratchet("embeds_per_sec", embeds_per_sec)
+    vs_senc = ratchet("short_embeds_per_sec", short_embeds_per_sec)
     vs_dec = ratchet("decode_ms_per_token", decode_ms, higher_is_better=False)
     vs_dq8 = ratchet("decode_ms_per_token_int8kv", decode_ms_q8,
                      higher_is_better=False)
@@ -502,6 +508,9 @@ def main() -> None:
         "unit": "embeds/s",
         "vs_baseline": vs_enc,
         "extra": [
+            {"metric": "short_encode_embeds_per_sec_b32_seq64_1b_bf16",
+             "value": round(short_embeds_per_sec, 2), "unit": "embeds/s",
+             "vs_baseline": vs_senc},
             {"metric": "decode_ms_per_token_4k_cache_b8_1b_bf16",
              "value": round(decode_ms, 3), "unit": "ms/token",
              "vs_baseline": vs_dec},

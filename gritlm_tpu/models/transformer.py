@@ -708,10 +708,24 @@ def _moe_mlp_dropless(p: dict, x: jax.Array, cfg: ModelConfig):
             jnp.zeros((), jnp.float32))
 
 
+# moe_impl="auto" crossover, measured on v5e (scripts/exp_moe_impl.py, 8
+# experts × ~88M/layer top-2 bf16): below this many tokens the dense
+# all-experts pass wins (decode B=8: 4.14 vs 9.14 ms/tok — at tiny T every
+# expert's weights stream from HBM anyway, so routing machinery is pure
+# overhead); at/above it dropless ragged_dot wins (encode 32×512: 232 vs
+# 134 embeds/s — top-2 FLOPs instead of all-8). Static shape ⇒ the branch
+# resolves at trace time, no runtime cost.
+MOE_AUTO_DENSE_MAX = 1024
+
+
 def _moe_mlp(p: dict, x: jax.Array, cfg: ModelConfig):
-    if cfg.moe_impl == "gshard":
+    impl = cfg.moe_impl
+    if impl == "auto":
+        T = x.shape[0] * x.shape[1]
+        impl = "dense" if T < MOE_AUTO_DENSE_MAX else "dropless"
+    if impl == "gshard":
         return _moe_mlp_gshard(p, x, cfg)
-    if cfg.moe_impl == "dropless":
+    if impl == "dropless":
         return _moe_mlp_dropless(p, x, cfg)
     return _moe_mlp_dense(p, x, cfg)
 

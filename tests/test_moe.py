@@ -242,3 +242,31 @@ def test_dropless_forward_and_grad(cfg_moe):
     assert all(np.isfinite(np.asarray(x)).all() for x in gl)
     # expert weights actually receive gradient
     assert float(jnp.abs(g["layers"]["moe"]["gate"]).max()) > 0
+
+
+def test_auto_impl_dispatches_on_token_count():
+    """moe_impl='auto' (VERDICT r3 next-3 follow-on): below the measured
+    crossover the dense all-experts pass runs (decode regime), at/above it
+    dropless ragged_dot (prefill/encode regime) — outputs must match the
+    explicitly-selected impl exactly in both regimes."""
+    from gritlm_tpu.models.transformer import MOE_AUTO_DENSE_MAX
+
+    cfg_a = dataclasses.replace(tiny_mixtral(), moe_impl="auto")
+    params = init_params(cfg_a, jax.random.PRNGKey(0))
+
+    # small T → dense
+    ids, mask = _inputs(cfg_a, b=2, s=16)
+    assert 2 * 16 < MOE_AUTO_DENSE_MAX
+    ha, _, _ = forward(params, cfg_a, ids, attention_mask=mask, causal=True)
+    hd, _, _ = forward(params, dataclasses.replace(cfg_a, moe_impl="dense"),
+                       ids, attention_mask=mask, causal=True)
+    np.testing.assert_array_equal(np.asarray(ha), np.asarray(hd))
+
+    # large T → dropless
+    ids, mask = _inputs(cfg_a, b=8, s=MOE_AUTO_DENSE_MAX // 8)
+    ha, _, _ = forward(params, cfg_a, ids, attention_mask=mask, causal=True)
+    hl, _, _ = forward(
+        params, dataclasses.replace(cfg_a, moe_impl="dropless"),
+        ids, attention_mask=mask, causal=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ha), np.asarray(hl))
