@@ -100,23 +100,47 @@ class FlatIndex:
     # XLA pipelines the N dimension itself).
     QUERY_BLOCK = 256
 
+    # Exact mode splits the score row into chunks of this many docs and
+    # top-k's each before one k·n_chunks merge: identical results to a
+    # global lax.top_k (every global top-k member is a top-k member of its
+    # own chunk), but the sort network runs on 64k-wide rows instead of
+    # N-wide — the global sort is the dominant exact-search cost at
+    # corpus scale.
+    EXACT_CHUNK = 65536
+
     def _make_search(self):
         import functools
 
         @functools.partial(jax.jit, static_argnames=("k", "mode"))
         def search(embeddings, queries, n_docs, k, mode):
             # corpus-dtype matmul with fp32 accumulation: MXU-native, never
-            # materializes an upcast corpus copy (1M×1024 bf16 @ 32 queries
-            # ≈ 7 ms on v5e, within 3× of the HBM roofline — top_k is fused)
+            # materializes an upcast corpus copy; burst-dispatch timing
+            # protocol in scripts/exp_search.py
             q = queries.astype(embeddings.dtype)
             scores = jnp.einsum(
                 "qd,nd->qn", q, embeddings,
                 preferred_element_type=jnp.float32,
             )
-            valid = jnp.arange(scores.shape[1])[None, :] < n_docs
+            N = scores.shape[1]
+            valid = jnp.arange(N)[None, :] < n_docs
             scores = jnp.where(valid, scores, -jnp.inf)
             if mode == "exact":
-                return jax.lax.top_k(scores, k)
+                C = self.EXACT_CHUNK
+                if N <= 2 * C:
+                    return jax.lax.top_k(scores, k)
+                # chunked exact: per-chunk top-k, then merge the survivors
+                Qn = scores.shape[0]
+                Np = -(-N // C) * C
+                if Np != N:  # pad the tail chunk with -inf
+                    scores = jnp.pad(scores, ((0, 0), (0, Np - N)),
+                                     constant_values=-jnp.inf)
+                sc = scores.reshape(Qn, Np // C, C)
+                v, i = jax.lax.top_k(sc, k)  # [Q, Np/C, k] each
+                base = (jnp.arange(Np // C) * C)[None, :, None]
+                cand_v = v.reshape(Qn, -1)
+                cand_i = (i + base).reshape(Qn, -1)
+                mv, mi = jax.lax.top_k(cand_v, k)
+                return mv, jnp.take_along_axis(cand_i, mi, axis=1)
             # TPU-accelerated partial reduction (the MIPS hot path);
             # aggregate_to_topk sorts the survivors exactly
             return jax.lax.approx_max_k(

@@ -972,6 +972,30 @@ class ServingEngine:
         )
         self.prefixes[key] = (pids, w)
 
+    def release_prefix(self, key) -> bool:
+        """Unpin a registered prefix and return its pages to the free
+        list (the hot-doc eviction path — a doc store rotates documents
+        through the pool as traffic shifts). Refuses while any queued,
+        pending, or in-flight request still references the prefix: those
+        rows' page tables point at the shared pages, and freeing them
+        would let a later admission overwrite live KV. Returns True if
+        released, False if unknown."""
+        if key not in self.prefixes:
+            return False
+        refs = [r.request_id for r in self.queue if r.prefix == key]
+        refs += [s.request.request_id for s in self.slots.values()
+                 if s.request.prefix == key]
+        refs += [p.request.request_id for p in self._pending
+                 if p.request.prefix == key]
+        if refs:
+            raise ValueError(
+                f"prefix {key!r} still referenced by {len(refs)} "
+                f"request(s): {refs[:4]}"
+            )
+        pids, _ = self.prefixes.pop(key)
+        self._free_pages.extend(pids)
+        return True
+
     def _pages_needed(self, req: Request) -> int:
         span = _bucket(len(req.input_ids), self.buckets) + req.max_new_tokens
         if req.doc_cache is not None:

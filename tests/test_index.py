@@ -86,3 +86,20 @@ def test_sharded_index_8dev():
     scores, ids = idx.search(queries, k=7)
     ref_ids = np.argsort(-(queries @ docs.T), axis=1)[:, :7]
     np.testing.assert_array_equal(ids, ref_ids)
+
+
+def test_chunked_exact_matches_global_topk():
+    """Corpora beyond 2x EXACT_CHUNK take the chunked-exact path
+    (per-chunk top-k + survivor merge, incl. a -inf-padded tail chunk);
+    results must be identical to a global sort."""
+    idx = FlatIndex(16, 640, dtype=np.float32, pad_to=64)
+    idx.EXACT_CHUNK = 256  # force chunking (640 > 2*256, tail pad 768-640)
+    docs = _random_unit(600, 16, 11)
+    idx.add(docs)
+    queries = _random_unit(7, 16, 12)
+    scores, ids = idx.search(queries, k=10, mode="exact")
+    ref = np.argsort(-(queries @ docs.T), axis=1)[:, :10]
+    np.testing.assert_array_equal(ids, ref)
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(queries @ docs.T, ref, axis=1), atol=1e-5
+    )

@@ -1026,3 +1026,61 @@ def test_embed_composes_with_pool_modes(model, pool_kw):
     assert set(got) == set(want)
     for rid in want:
         np.testing.assert_array_equal(got[rid], want[rid])
+
+
+def test_release_prefix_returns_pages(model):
+    """register → serve → release returns the pinned pages; the freed pool
+    accepts a different doc whose continuations stay oracle-exact; release
+    refuses while a request still references the prefix."""
+    from gritlm_tpu.models.transformer import forward, init_cache
+
+    cfg, params = model
+
+    def doc_entry(seed, w=12):
+        rng = np.random.default_rng(seed)
+        doc = rng.integers(3, cfg.vocab_size, w).tolist()
+        c = init_cache(cfg, 1, w)
+        _, c, _ = forward(params, cfg, jnp.asarray(doc, jnp.int32)[None, :],
+                          causal=True, cache=c)
+        return doc, (np.asarray(c.k[:, 0]), np.asarray(c.v[:, 0]), w,
+                     None, None)
+
+    doc1, e1 = doc_entry(41)
+    doc2, e2 = doc_entry(42)
+    eng = ServingEngine(
+        cfg, params, max_batch=2, max_len=64, chunk_size=2,
+        prompt_buckets=(16,), paged=True, page_size=8, pool_pages=18,
+    )
+    free0 = len(eng._free_pages)
+    eng.register_prefix("d1", e1)
+    assert len(eng._free_pages) == free0 - 2  # 12 tokens → 2 pages
+
+    rng = np.random.default_rng(43)
+    mk = lambda i, which: Request(
+        input_ids=rng.integers(3, cfg.vocab_size, 5).tolist(),
+        max_new_tokens=6, request_id=f"p{i}", prefix=which)
+    reqs = [mk(0, "d1"), mk(1, "d1")]
+
+    # refusal while referenced: submit, step into flight, try to release
+    for r in reqs:
+        eng.submit(r)
+    eng.step()
+    with pytest.raises(ValueError, match="referenced"):
+        eng.release_prefix("d1")
+    while eng.queue or eng.slots or eng._pending or eng._prev is not None:
+        eng.step()
+    done = {c.request_id: c for c in eng.finished}
+    for r in reqs:
+        want = _oracle(cfg, params, doc1 + r.input_ids, 6)
+        assert done[r.request_id].token_ids == want
+
+    assert eng.release_prefix("d1") is True
+    assert len(eng._free_pages) == free0
+    assert eng.release_prefix("d1") is False  # already gone
+
+    # pool reuse: a different doc in the same pages, parity intact
+    eng.register_prefix("d2", e2)
+    r2 = mk(9, "d2")
+    done2 = eng.run([r2])
+    want = _oracle(cfg, params, doc2 + r2.input_ids, 6)
+    assert done2[-1].token_ids == want
