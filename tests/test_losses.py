@@ -141,6 +141,7 @@ def test_fused_ce_all_ignored_no_nan():
     assert np.isfinite(float(loss)) and float(loss) == 0.0
 
 
+@pytest.mark.slow
 def test_train_step_fused_ce_matches_unfused():
     # end-to-end: one unified train step, fused vs unfused gen loss
     from gritlm_tpu.config import ModelConfig

@@ -88,6 +88,7 @@ def test_pipeline_train_step_matches_gspmd(cfg4, setup):
     assert int(jax.device_get(state.step)) == 3
 
 
+@pytest.mark.slow
 def test_seqpar_train_step_matches_gspmd(cfg4, setup):
     params, tc, batch, (l0, le0, lg0) = setup
     from gritlm_tpu.parallel.seqpar import make_seq_mesh
@@ -151,6 +152,7 @@ def test_pipeline_moe_matches_gspmd(moe_setup):
     assert np.isfinite(float(m.loss)) and float(m.loss) < prev
 
 
+@pytest.mark.slow
 def test_seqpar_moe_matches_gspmd(moe_setup):
     """Ring-attention MoE train step ≡ GSPMD MoE step, incl. router aux."""
     from gritlm_tpu.parallel.seqpar import make_seq_mesh
@@ -234,6 +236,7 @@ def _first_layer_leaf(state):
     )
 
 
+@pytest.mark.slow
 def test_pipeline_gradcache_composes(cfg4, setup16):
     """gc_chunks=4 ≡ gc_chunks=1 through the pipelined trunk (same mesh,
     same batch): loss, grad norm and the updated params must agree."""
@@ -260,6 +263,7 @@ def test_pipeline_gradcache_composes(cfg4, setup16):
     )
 
 
+@pytest.mark.slow
 def test_seqpar_gradcache_composes(cfg4, setup16):
     """gc_chunks=4 ≡ gc_chunks=1 through the ring-attention trunk."""
     from gritlm_tpu.parallel.seqpar import make_seq_mesh
