@@ -8,9 +8,19 @@ per-call measurement. Run this with the machine otherwise idle.
 
 Variants:
   matmul      — scores GEMM only, fused row-sum consumer (no top-k)
-  exact       — GEMM + lax.top_k(k)          (index search_mode="exact")
+  exact       — GEMM + segment-pruned exact top-k (index search_mode=
+                "exact": k largest-max segments provably cover the top-k)
   approx      — GEMM + lax.approx_max_k(k)   (index search_mode="approx",
                 recall_target 0.95, exact re-sort over survivors)
+  global      — GEMM + global lax.top_k (the naive exact path; minutes at
+                1M docs — run with --global only when you mean it)
+
+Measured v5e (N=1M, D=1024, Q=256, k=100): per-dispatch tunnel overhead
+is ~25 ms (an 8k^3 matmul runs at 330 TF/s inside a fori_loop but a
+single dispatched call reads ~30 ms), so all numbers here carry that
+constant; matmul ~28 ms, exact(pruned) ~35 ms, approx ~28 ms, while the
+old per-64k-chunk lax.top_k exact path cost ~345 ms — the sort network
+was ~30x the pruned cost.
 
 Usage: python scripts/exp_search.py [--n 1000000] [--q 256] [--k 100]
 """
@@ -31,6 +41,8 @@ def main():
     ap.add_argument("--q", type=int, default=256)
     ap.add_argument("--k", type=int, default=100)
     ap.add_argument("--reps", type=int, default=8)
+    ap.add_argument("--global", dest="global_", action="store_true",
+                    help="also time the naive global lax.top_k (minutes)")
     args = ap.parse_args()
 
     import jax
@@ -59,10 +71,25 @@ def main():
         return jnp.einsum("qd,nd->qn", qq, e,
                           preferred_element_type=jnp.float32)
 
+    SEG = 256
+    Np = -(-N // SEG) * SEG
+
+    def exact_pruned(e, qq):
+        # the FlatIndex exact path (index/flat.py EXACT_SEGMENT proof)
+        s = scores(e, qq)
+        if Np != N:
+            s = jnp.pad(s, ((0, 0), (0, Np - N)), constant_values=-jnp.inf)
+        seg = s.reshape(Q, Np // SEG, SEG)
+        _, segidx = jax.lax.top_k(seg.max(axis=2), K)
+        cand = jnp.take_along_axis(seg, segidx[:, :, None], axis=1)
+        v, ii = jax.lax.top_k(cand.reshape(Q, K * SEG), K)
+        return v, jnp.take_along_axis(segidx, ii // SEG, axis=1) * SEG + ii % SEG
+
     mm = jax.jit(lambda e, qq: scores(e, qq).sum(axis=1))
-    ex = jax.jit(lambda e, qq: jax.lax.top_k(scores(e, qq), K))
+    ex = jax.jit(exact_pruned)
     ap_ = jax.jit(lambda e, qq: jax.lax.approx_max_k(
         scores(e, qq), K, recall_target=0.95, aggregate_to_topk=True))
+    gl = jax.jit(lambda e, qq: jax.lax.top_k(scores(e, qq), K))
 
     gb = corpus.nbytes / 2**30
     roof_ms = gb / 0.82 * 1.0  # 820 GB/s HBM
@@ -70,7 +97,10 @@ def main():
     print(f"N={N} D={D} Q={Q} k={K}  corpus {gb:.2f} GB  "
           f"roofline read {roof_ms:.2f} ms / matmul {tf / 0.197:.2f} ms "
           f"@197TFps")
-    for name, f in (("matmul", mm), ("exact", ex), ("approx", ap_)):
+    variants = [("matmul", mm), ("exact", ex), ("approx", ap_)]
+    if args.global_:
+        variants.append(("global", gl))
+    for name, f in variants:
         ms = burst(f)
         print(f"{name:7s}: {ms:7.2f} ms  = {Q / ms * 1e3:8.0f} qps   "
               f"({gb / ms * 1e3:6.0f} GB/s effective)")

@@ -88,12 +88,12 @@ def test_sharded_index_8dev():
     np.testing.assert_array_equal(ids, ref_ids)
 
 
-def test_chunked_exact_matches_global_topk():
-    """Corpora beyond 2x EXACT_CHUNK take the chunked-exact path
-    (per-chunk top-k + survivor merge, incl. a -inf-padded tail chunk);
-    results must be identical to a global sort."""
+def test_segment_pruned_exact_matches_global_topk():
+    """Corpora wider than 2k segments take the segment-pruned exact path
+    (k largest-max segments provably cover the top-k, incl. the -inf
+    capacity padding); results must be identical to a global sort."""
     idx = FlatIndex(16, 640, dtype=np.float32, pad_to=64)
-    idx.EXACT_CHUNK = 256  # force chunking (640 > 2*256, tail pad 768-640)
+    idx.EXACT_SEGMENT = 16  # force pruning (640/16 = 40 segs > 2*10)
     docs = _random_unit(600, 16, 11)
     idx.add(docs)
     queries = _random_unit(7, 16, 12)
