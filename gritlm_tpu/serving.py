@@ -221,6 +221,19 @@ def _sample_rows(logits: jax.Array, samp: tuple) -> jax.Array:
     return jnp.where(temps > 0, sampled, greedy)
 
 
+def _prng_key_host(seed) -> np.ndarray:
+    """jax.random.PRNGKey(seed) built on host: PRNGKey is a tiny device
+    program, and every eager device op in the scheduler is a host
+    round-trip (~3-16 ms through a remote runtime tunnel vs ~1 ms to pass
+    the same bytes as a dispatch argument). Matches threefry_seed exactly:
+    with x64 disabled the seed wraps to int32 and the high word is 0."""
+    s = int(np.asarray(seed))
+    if jax.config.jax_enable_x64:
+        return np.array([(s >> 32) & 0xFFFFFFFF, s & 0xFFFFFFFF], np.uint32)
+    s32 = np.int64(s).astype(np.int32)
+    return np.array([0, s32.astype(np.uint32)], np.uint32)
+
+
 def _samp_init(max_batch: int):
     """Idle sampling state: greedy everywhere."""
     return (
@@ -1013,11 +1026,13 @@ class ServingEngine:
         greedy pools — keeps the greedy-compiled programs unchanged)."""
         if not self.sampling:
             return None
+        # host scalars/arrays only: they ride the insert dispatch instead
+        # of costing an eager device_put round-trip each
         return (
-            jnp.float32(r.temperature),
-            jnp.int32(r.top_k),
-            jnp.float32(r.top_p),
-            jax.random.PRNGKey(r.seed),
+            np.float32(r.temperature),
+            np.int32(r.top_k),
+            np.float32(r.top_p),
+            _prng_key_host(r.seed),
         )
 
     def _samp_rows_for(self, rs, rows):
@@ -1031,18 +1046,15 @@ class ServingEngine:
         keys = np.zeros((rows, 2), np.uint32)
         for j, r in enumerate(rs):
             temps[j], tks[j], tps[j] = r.temperature, r.top_k, r.top_p
-            keys[j] = np.asarray(jax.random.PRNGKey(r.seed))
-        return (
-            jnp.asarray(temps), jnp.asarray(tks), jnp.asarray(tps),
-            jnp.asarray(keys), jnp.zeros(rows, jnp.int32),
-        )
+            keys[j] = _prng_key_host(r.seed)
+        return (temps, tks, tps, keys, np.zeros(rows, np.int32))
 
     def _req_aid(self, r: Request):
         """This request's adapter slot (None in adapter-less pools so the
         compiled programs stay unchanged; 0 = base model)."""
         if not self._adapter_idx:
             return None
-        return jnp.int32(self._adapter_idx.get(r.adapter, 0))
+        return np.int32(self._adapter_idx.get(r.adapter, 0))
 
     def _aid_rows_for(self, rs, rows):
         if not self._adapter_idx:
@@ -1050,7 +1062,7 @@ class ServingEngine:
         out = np.zeros(rows, np.int32)
         for j, r in enumerate(rs):
             out[j] = self._adapter_idx.get(r.adapter, 0)
-        return jnp.asarray(out)
+        return out
 
     def _req_hist_row(self, r: Request):
         """One request's compact prompt as a pool-width history row (the
@@ -1065,7 +1077,7 @@ class ServingEngine:
         seq = seq[-cap:]
         row = np.zeros(self.max_len, np.int32)
         row[: len(seq)] = seq
-        return jnp.asarray(row), jnp.int32(len(seq))
+        return row, np.int32(len(seq))
 
     def submit(self, req: Request) -> None:
         if req.temperature > 0.0 and not self.sampling:
@@ -1176,7 +1188,7 @@ class ServingEngine:
             for i, r in enumerate(group):
                 if r.adapter is not None:
                     aid[i] = self._adapter_idx[r.adapter]
-            params = _with_adapters(params, self.cfg, jnp.asarray(aid))
+            params = _with_adapters(params, self.cfg, aid)
         emb = _encode_step(
             params, None, self.cfg,
             self._put_rows(ids), self._put_rows(mask),
@@ -1306,11 +1318,14 @@ class ServingEngine:
                         off = len(ppids)
                     table[off: off + len(pids)] = pids
                     self._slot_pages[slot] = pids
+                    # host-typed args throughout: each eager jnp scalar
+                    # here was a device_put round-trip, ~16 ms of the
+                    # ~20 ms/request admission overhead measured on v5e
                     self.carry = _insert_paged_program(
-                        self.carry, rowc, firsts, jnp.int32(j),
-                        jnp.int32(slot), jnp.asarray(table),
-                        jnp.int32(write_len), jnp.int32(pos0),
-                        jnp.int32(r.max_new_tokens),
+                        self.carry, rowc, firsts, np.int32(j),
+                        np.int32(slot), table,
+                        np.int32(write_len), np.int32(pos0),
+                        np.int32(r.max_new_tokens),
                         self._req_samp_scalars(r), self._req_hist_row(r),
                         self._req_aid(r),
                         copy_from_page=(dbucket // self.page
@@ -1319,9 +1334,9 @@ class ServingEngine:
                     )
                 else:
                     self.carry = _insert_program(
-                        self.carry, rowc, firsts, jnp.int32(j),
-                        jnp.int32(slot), jnp.int32(write_len),
-                        jnp.int32(pos0), jnp.int32(r.max_new_tokens),
+                        self.carry, rowc, firsts, np.int32(j),
+                        np.int32(slot), np.int32(write_len),
+                        np.int32(pos0), np.int32(r.max_new_tokens),
                         self._req_samp_scalars(r), self._req_hist_row(r),
                         self._req_aid(r),
                         eos_id=self.eos_id,
@@ -1344,8 +1359,7 @@ class ServingEngine:
             samp = (self._samp_rows_for([p.request], 1)
                     if self.sampling else None)
             p.cache, p.first = _prefill_chunk_program(
-                self.params, self.cfg, p.cache, jnp.asarray(ids),
-                jnp.asarray(mask), samp,
+                self.params, self.cfg, p.cache, ids, mask, samp,
                 self._aid_rows_for([p.request], 1), chunk=C,
             )
             p.filled += len(seg)
@@ -1362,18 +1376,18 @@ class ServingEngine:
             table[: len(p.pids)] = p.pids
             self._slot_pages[p.slot] = p.pids
             self.carry = _insert_paged_program(
-                self.carry, p.cache, p.first, jnp.int32(0),
-                jnp.int32(p.slot), jnp.asarray(table),
-                jnp.int32(write_len), jnp.int32(write_len),
-                jnp.int32(r.max_new_tokens), self._req_samp_scalars(r),
+                self.carry, p.cache, p.first, np.int32(0),
+                np.int32(p.slot), table,
+                np.int32(write_len), np.int32(write_len),
+                np.int32(r.max_new_tokens), self._req_samp_scalars(r),
                 self._req_hist_row(r), self._req_aid(r), copy_from_page=0,
                 eos_id=self.eos_id,
             )
         else:
             self.carry = _insert_program(
-                self.carry, p.cache, p.first, jnp.int32(0),
-                jnp.int32(p.slot), jnp.int32(write_len),
-                jnp.int32(write_len), jnp.int32(r.max_new_tokens),
+                self.carry, p.cache, p.first, np.int32(0),
+                np.int32(p.slot), np.int32(write_len),
+                np.int32(write_len), np.int32(r.max_new_tokens),
                 self._req_samp_scalars(r), self._req_hist_row(r),
                 self._req_aid(r),
                 eos_id=self.eos_id,
@@ -1394,12 +1408,12 @@ class ServingEngine:
         cache = self.carry[1]
         dk, dv, sc = _gather_prefix_program(
             cache.k, cache.v, cache.k_scale, cache.v_scale,
-            jnp.asarray(pt), quant=self.kv_quant,
+            pt, quant=self.kv_quant,
         )
         doc_mask = (np.arange(dbucket)[None, :] < dl[:, None]).astype(np.int32)
         return _prefill_continue_program(
             self.params, self.cfg, dk, dv, sc,
-            jnp.asarray(doc_mask), jnp.asarray(dl),
+            doc_mask, dl,
             self._put_rows(ids), self._put_rows(mask), samp_rows,
             aid_rows, dbucket=dbucket, bucket=bucket, rows=rows,
         )
@@ -1429,10 +1443,10 @@ class ServingEngine:
                 ks[:, j, :, :w] = ksj
                 vs[:, j, :, :w] = vsj
         if self.kv_quant:
-            scales = (jnp.asarray(ks), jnp.asarray(vs))
+            scales = (ks, vs)
         return _prefill_continue_program(
-            self.params, self.cfg, jnp.asarray(doc_k), jnp.asarray(doc_v),
-            scales, jnp.asarray(doc_mask), jnp.asarray(doc_lens),
+            self.params, self.cfg, doc_k, doc_v,
+            scales, doc_mask, doc_lens,
             self._put_rows(ids), self._put_rows(mask), samp_rows,
             aid_rows, dbucket=dbucket, bucket=bucket, rows=rows,
         )
@@ -1498,7 +1512,7 @@ class ServingEngine:
         for slot, sl in self.slots.items():
             if sl.request.request_id == request_id:
                 self.carry = _deactivate_program(self.carry,
-                                                 jnp.int32(slot))
+                                                 np.int32(slot))
                 self.finished.append(Completion(
                     request_id=request_id, token_ids=list(sl.generated),
                     finish_reason="cancelled",

@@ -16,6 +16,7 @@ from __future__ import annotations
 from typing import Dict, Sequence, Tuple
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 DEFAULT_TARGETS = ("wq", "wk", "wv", "wo", "gate", "up", "down")
@@ -149,7 +150,11 @@ def set_adapter_ids(params: dict, aid, num_layers: int) -> dict:
     [L, B], layer-major, so the model's layer scan slices them alongside
     the weights). Pure tree restructure — free inside jit. No-op trees
     without stacked leaves return unchanged."""
-    aid_l = jnp.broadcast_to(aid[None, :], (num_layers, aid.shape[0]))
+    # host inputs broadcast on host (np view, no eager device op — the
+    # serving scheduler calls this outside jit; the array rides the next
+    # program dispatch instead of costing a device_put round-trip)
+    xp = np if isinstance(aid, np.ndarray) else jnp
+    aid_l = xp.broadcast_to(aid[None, :], (num_layers, aid.shape[0]))
 
     def walk(node):
         if not isinstance(node, dict):
