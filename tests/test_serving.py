@@ -1084,3 +1084,41 @@ def test_release_prefix_returns_pages(model):
     done2 = eng.run([r2])
     want = _oracle(cfg, params, doc2 + r2.input_ids, 6)
     assert done2[-1].token_ids == want
+
+
+def test_adaptive_chunk_matches_oracle(model):
+    """adaptive_chunk=True shortens dispatched chunks toward the earliest
+    completion while work queues (and skips chunks that can emit
+    nothing); tokens must be schedule-invariant. Includes max_new=1 rows
+    (satisfied entirely by the prefill sample — no decode chunk may ever
+    be dispatched for a pool holding only those)."""
+    cfg, params = model
+    reqs = _requests(cfg, [3, 9, 5, 12, 7, 4])
+    reqs[2].max_new_tokens = 1
+    reqs[4].max_new_tokens = 3
+    eng = ServingEngine(
+        cfg, params, max_batch=3, max_len=64, chunk_size=8,
+        prompt_buckets=(16,), adaptive_chunk=True,
+    )
+    done = eng.run(reqs)
+    _check_parity(cfg, params, done, reqs)
+    # the budget-aware scheduler must have dispatched fewer decode steps
+    # than fixed chunks would (ceil-to-chunk per completion wave)
+    assert eng._steps < 8 * sum(-(-r.max_new_tokens // 8) for r in reqs)
+
+
+def test_adaptive_chunk_only_short_rows(model):
+    """A pool of only max_new=1 requests never dispatches a decode chunk
+    (every token comes from prefill), adaptive or not — the emit-nothing
+    chunk skip is unconditional."""
+    cfg, params = model
+    reqs = _requests(cfg, [4, 6, 5])
+    for r in reqs:
+        r.max_new_tokens = 1
+    eng = ServingEngine(
+        cfg, params, max_batch=3, max_len=32, chunk_size=4,
+        prompt_buckets=(16,),
+    )
+    done = eng.run(reqs)
+    _check_parity(cfg, params, done, reqs)
+    assert eng._steps == 0
