@@ -282,6 +282,43 @@ def bench_prefix_serving(cfg, params):
     return _median_serving_passes(eng, reqs)
 
 
+def bench_embed_serving(cfg, params):
+    """Unified-serving embedding throughput (embeds/s): 96 ragged
+    EmbedRequests (128-512 tokens, instruction-masked) through the
+    serving pool — the GritLM thesis, served (embeddings and generation
+    share one engine and one jitted encode program; reference
+    gritlm/gritlm.py:92-176 vs :262-296 can only run them as separate
+    batch scripts). Upper bound is the offline encoder; the pool adds
+    bucket grouping + scheduling. Ratcheted so unified serving can't
+    silently regress."""
+    from gritlm_tpu.serving import EmbedRequest, ServingEngine
+
+    rng = np.random.default_rng(17)
+    reqs = [
+        EmbedRequest(
+            input_ids=rng.integers(3, cfg.vocab_size, size=int(n)).tolist(),
+            instr_len=8, request_id=str(i),
+        )
+        for i, n in enumerate(rng.integers(128, 512, 96))
+    ]
+    eng = ServingEngine(
+        cfg, params, max_batch=8, max_len=2048, eos_id=-1,
+        prompt_buckets=(256, 512), embed_batch=32,
+    )
+
+    def one_pass():
+        eng.run(list(reqs))
+        return eng.take_embeddings()
+
+    one_pass()  # warmup/compile
+    rates = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        out = one_pass()
+        rates.append(len(out) / (time.perf_counter() - t0))
+    return float(np.median(rates))
+
+
 def bench_spec_serving(cfg, params):
     """Speculative serving throughput (tok/s): the prompt-lookup verify
     pool on compressible traffic — 24 requests whose prompts tile a
@@ -350,7 +387,7 @@ def bench_search(n_docs=1_000_000, dim=1024, k=100, n_queries=256):
 
     idx.search(queries, k)  # warmup/compile
     times = []
-    for _ in range(3):
+    for _ in range(5):  # median of 5: the call is tunnel-dispatch-bound
         t0 = time.perf_counter()
         idx.search(queries, k)
         times.append(time.perf_counter() - t0)
@@ -441,6 +478,7 @@ def main() -> None:
     paged_serving_tok_s = bench_paged_serving(cfg, params)
     prefix_serving_tok_s = bench_prefix_serving(cfg, params)
     spec_serving_tok_s = bench_spec_serving(cfg, params)
+    embed_serving_eps = bench_embed_serving(cfg, params)
     train_tok_s = bench_train(cfg, params)
     del params  # free the dense 1B before the MoE model comes up
 
@@ -489,6 +527,7 @@ def main() -> None:
     vs_psrv = ratchet("paged_serving_tokens_per_sec", paged_serving_tok_s)
     vs_xsrv = ratchet("prefix_serving_tokens_per_sec", prefix_serving_tok_s)
     vs_ssrv = ratchet("spec_serving_tokens_per_sec", spec_serving_tok_s)
+    vs_esrv = ratchet("embed_serving_embeds_per_sec", embed_serving_eps)
     vs_tr = ratchet("train_tokens_per_sec", train_tok_s)
     vs_menc = ratchet("moe_embeds_per_sec", moe_embeds_per_sec)
     vs_mdec = ratchet("moe_decode_ms_per_token", moe_decode_ms,
@@ -543,6 +582,9 @@ def main() -> None:
             {"metric": "spec_serving_tokens_per_sec_rep24_b8_1b_bf16",
              "value": round(spec_serving_tok_s, 1), "unit": "tokens/s",
              "vs_baseline": vs_ssrv},
+            {"metric": "embed_serving_embeds_per_sec_ragged96_1b_bf16",
+             "value": round(embed_serving_eps, 1), "unit": "embeds/s",
+             "vs_baseline": vs_esrv},
             {"metric": "train_tokens_per_sec_unified_1b_bf16",
              "value": round(train_tok_s, 1), "unit": "tokens/s",
              "vs_baseline": vs_tr},

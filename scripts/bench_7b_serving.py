@@ -72,6 +72,23 @@ def main() -> None:
     }
     print(json.dumps(result), flush=True)
 
+    # full continuous-batching engine at the reference's model scale:
+    # the same ragged24 workload as the 1B bench cell, on the int8
+    # weights + int8 KV pool (production serving on one 16GB chip)
+    from gritlm_tpu.serving import ServingEngine
+
+    eng = ServingEngine(
+        cfg, params, max_batch=8, max_len=2048, eos_id=-1,
+        kv_quant=True, chunk_size=16, prompt_buckets=(512, 1024, 1536),
+    )
+    tok_s = bench._median_serving_passes(eng, bench._ragged_requests(cfg))
+    result = {
+        "metric": "serving_tokens_per_sec_ragged24_b8_7b_int8w_int8kv",
+        "value": round(tok_s, 1),
+        "unit": "tokens/s",
+    }
+    print(json.dumps(result), flush=True)
+
 
 if __name__ == "__main__":
     main()
