@@ -368,17 +368,29 @@ def _moe_bench_config(moe_impl: str = "auto"):
 
 
 def bench_search(n_docs=1_000_000, dim=1024, k=100, n_queries=256):
-    """Flat-index search throughput (queries/s): synthetic 1M × 1024 bf16
-    corpus (2 GB HBM), k=100, exact mode — the RAG retrieval hot path
-    (reference rag/index.py:101-141 does per-rank matmul+topk over NCCL).
-    Ratcheted so the search kernel can't silently regress (r3 weak-5)."""
+    """Flat-index search: synthetic 1M × 1024 bf16 corpus (2 GB HBM),
+    k=100, exact mode — the RAG retrieval hot path (reference
+    rag/index.py:101-141 does per-rank matmul+topk over NCCL).
+
+    Returns (device_qps, sync_qps):
+      device_qps — R=8 query blocks scanned inside ONE jitted program
+        (one dispatch + one device_get for 2048 queries), so the
+        per-call tunnel round-trip (~10-30 ms, host-load-dependent) is
+        amortized 8x and the number tracks on-device kernel time. This
+        is the RATCHETED metric (VERDICT r4 weak-1: the synchronous
+        protocol was ~90% tunnel overhead — a real 2x kernel win was
+        invisible and the record moved with round-trip conditions).
+      sync_qps — one synchronous search(256 queries) call end-to-end,
+        the interactive-caller latency view. Informational (reported,
+        not ratcheted: it measures the tunnel, not the kernel)."""
     import jax
+    import jax.numpy as jnp
 
     from gritlm_tpu.index.flat import FlatIndex
 
     rng = np.random.default_rng(13)
     idx = FlatIndex(dim, n_docs)
-    block = 125_000
+    block = min(125_000, n_docs)
     for a in range(0, n_docs, block):
         emb = rng.standard_normal((block, dim), dtype=np.float32)
         idx.add(emb / np.linalg.norm(emb, axis=1, keepdims=True))
@@ -391,8 +403,34 @@ def bench_search(n_docs=1_000_000, dim=1024, k=100, n_queries=256):
         t0 = time.perf_counter()
         idx.search(queries, k)
         times.append(time.perf_counter() - t0)
+    sync_qps = n_queries / float(np.median(times))
+
+    # device-time protocol: R distinct blocks through the SAME search
+    # program under one lax.scan — compute dominates, tunnel amortized
+    R = 8
+    if idx._search_fn is None:
+        idx._search_fn, _ = idx._make_search()
+    kern, nd = idx._search_fn, np.int32(idx.n_docs)
+    qs = rng.standard_normal((R, n_queries, dim), dtype=np.float32)
+    qs /= np.linalg.norm(qs, axis=2, keepdims=True)
+    qs = jnp.asarray(qs)
+
+    @jax.jit
+    def burst(emb, qs):
+        def body(_, q):
+            return 0, kern(emb, q, nd, k=k, mode="exact")
+        _, (v, i) = jax.lax.scan(body, 0, qs)
+        return v, i
+
+    _sync(burst(idx.embeddings, qs)[0])  # warmup/compile
+    times = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        out = burst(idx.embeddings, qs)
+        _sync(out[0])
+        times.append(time.perf_counter() - t0)
     del idx
-    return n_queries / float(np.median(times))
+    return R * n_queries / float(np.median(times)), sync_qps
 
 
 def bench_train(cfg, params):
@@ -493,7 +531,7 @@ def main() -> None:
     moe_serving_tok_s = bench_serving(moe_cfg, moe_params)
     del moe_params
 
-    search_qps = bench_search()
+    search_device_qps, search_sync_qps = bench_search()
 
     record = {}
     if os.path.exists(RECORD_FILE):
@@ -512,28 +550,80 @@ def main() -> None:
             record[key] = value
         return round(vs, 4)
 
+    # (record_key, short_key, full_metric_name, value, unit, higher_better)
+    # short_key appears on the single printed line (driver captures only
+    # ~2000 bytes — round 4's verbose line overflowed it, VERDICT r4 weak-2);
+    # the full name/unit/record live in BENCH_DETAIL.json next to this file.
+    cells = [
+        ("short_embeds_per_sec", "enc_s64",
+         "short_encode_embeds_per_sec_b32_seq64_1b_bf16",
+         short_embeds_per_sec, "embeds/s", True),
+        ("decode_ms_per_token", "dec",
+         "decode_ms_per_token_4k_cache_b8_1b_bf16", decode_ms, "ms/tok",
+         False),
+        ("decode_ms_per_token_int8kv", "dec_i8kv",
+         "decode_ms_per_token_4k_cache_b8_1b_int8kv", decode_ms_q8,
+         "ms/tok", False),
+        ("decode_ms_per_token_int8w_int8kv", "dec_i8w",
+         "decode_ms_per_token_4k_cache_b8_1b_int8w_int8kv", decode_ms_w8,
+         "ms/tok", False),
+        ("decode_ms_per_token_int4w_int8kv", "dec_i4w",
+         "decode_ms_per_token_4k_cache_b8_1b_int4w_int8kv", decode_ms_w4,
+         "ms/tok", False),
+        ("spec_decode_ms_per_token", "dec_spec",
+         "spec_decode_ms_per_token_3kctx_b1_1b_bf16", spec_ms, "ms/tok",
+         False),
+        ("serving_tokens_per_sec", "srv",
+         "serving_tokens_per_sec_ragged24_b8_1b_bf16", serving_tok_s,
+         "tok/s", True),
+        ("paged_serving_tokens_per_sec", "srv_paged",
+         "paged_serving_tokens_per_sec_ragged24_b8_1b_bf16",
+         paged_serving_tok_s, "tok/s", True),
+        ("prefix_serving_tokens_per_sec", "srv_prefix",
+         "prefix_serving_tokens_per_sec_hotdoc3k_b8_1b_bf16",
+         prefix_serving_tok_s, "tok/s", True),
+        ("spec_serving_tokens_per_sec", "srv_spec",
+         "spec_serving_tokens_per_sec_rep24_b8_1b_bf16", spec_serving_tok_s,
+         "tok/s", True),
+        ("embed_serving_embeds_per_sec", "srv_embed",
+         "embed_serving_embeds_per_sec_ragged96_1b_bf16", embed_serving_eps,
+         "embeds/s", True),
+        ("train_tokens_per_sec", "train",
+         "train_tokens_per_sec_unified_1b_bf16", train_tok_s, "tok/s", True),
+        ("moe_embeds_per_sec", "moe_enc",
+         "moe_embeds_per_sec_seq512_8x88m_top2_bf16", moe_embeds_per_sec,
+         "embeds/s", True),
+        ("moe_decode_ms_per_token", "moe_dec",
+         "moe_decode_ms_per_token_4k_cache_b8_8x88m_bf16", moe_decode_ms,
+         "ms/tok", False),
+        ("moe_serving_tokens_per_sec", "moe_srv",
+         "moe_serving_tokens_per_sec_ragged24_b8_8x88m_bf16",
+         moe_serving_tok_s, "tok/s", True),
+        ("search_device_qps", "search_dev",
+         "search_device_qps_1m_1024d_k100_bf16_burst8", search_device_qps,
+         "queries/s", True),
+    ]
+
+    extra = {}
+    detail = []
+    for rkey, skey, full, value, unit, hib in cells:
+        vs = ratchet(rkey, value, higher_is_better=hib)
+        extra[skey] = [round(value, 3 if value < 100 else 1), vs]
+        detail.append({"metric": full, "value": round(value, 4),
+                       "unit": unit, "vs_baseline": vs,
+                       "record": record[rkey]})
+
+    # informational (not ratcheted): synchronous single-call search — this
+    # measures the host/tunnel round-trip, not the kernel (VERDICT r4
+    # weak-1); the retired ratchet key is dropped from the record
+    record.pop("search_qps", None)
+    extra["search_sync"] = [round(search_sync_qps, 1), None]
+    detail.append({"metric": "search_sync_qps_1m_1024d_k100_bf16",
+                   "value": round(search_sync_qps, 1), "unit": "queries/s",
+                   "vs_baseline": None,
+                   "note": "informational; tunnel-dominated, not ratcheted"})
+
     vs_enc = ratchet("embeds_per_sec", embeds_per_sec)
-    vs_senc = ratchet("short_embeds_per_sec", short_embeds_per_sec)
-    vs_dec = ratchet("decode_ms_per_token", decode_ms, higher_is_better=False)
-    vs_dq8 = ratchet("decode_ms_per_token_int8kv", decode_ms_q8,
-                     higher_is_better=False)
-    vs_dw8 = ratchet("decode_ms_per_token_int8w_int8kv", decode_ms_w8,
-                     higher_is_better=False)
-    vs_dw4 = ratchet("decode_ms_per_token_int4w_int8kv", decode_ms_w4,
-                     higher_is_better=False)
-    vs_spec = ratchet("spec_decode_ms_per_token", spec_ms,
-                      higher_is_better=False)
-    vs_srv = ratchet("serving_tokens_per_sec", serving_tok_s)
-    vs_psrv = ratchet("paged_serving_tokens_per_sec", paged_serving_tok_s)
-    vs_xsrv = ratchet("prefix_serving_tokens_per_sec", prefix_serving_tok_s)
-    vs_ssrv = ratchet("spec_serving_tokens_per_sec", spec_serving_tok_s)
-    vs_esrv = ratchet("embed_serving_embeds_per_sec", embed_serving_eps)
-    vs_tr = ratchet("train_tokens_per_sec", train_tok_s)
-    vs_menc = ratchet("moe_embeds_per_sec", moe_embeds_per_sec)
-    vs_mdec = ratchet("moe_decode_ms_per_token", moe_decode_ms,
-                      higher_is_better=False)
-    vs_msrv = ratchet("moe_serving_tokens_per_sec", moe_serving_tok_s)
-    vs_search = ratchet("search_qps", search_qps)
     record.update({
         "config": "1B-class bf16",
         "backend": jax.default_backend(),
@@ -545,63 +635,25 @@ def main() -> None:
     })
     with open(RECORD_FILE, "w") as f:
         json.dump(record, f, indent=1)
+    with open(os.path.join(os.path.dirname(__file__),
+                           "BENCH_DETAIL.json"), "w") as f:
+        json.dump({"headline": {
+            "metric": "embeds_per_sec_per_chip_seq512_1b_bf16",
+            "value": round(embeds_per_sec, 2), "unit": "embeds/s",
+            "vs_baseline": vs_enc}, "cells": detail}, f, indent=1)
 
-    print(json.dumps({
+    line = json.dumps({
         "metric": "embeds_per_sec_per_chip_seq512_1b_bf16",
         "value": round(embeds_per_sec, 2),
         "unit": "embeds/s",
         "vs_baseline": vs_enc,
-        "extra": [
-            {"metric": "short_encode_embeds_per_sec_b32_seq64_1b_bf16",
-             "value": round(short_embeds_per_sec, 2), "unit": "embeds/s",
-             "vs_baseline": vs_senc},
-            {"metric": "decode_ms_per_token_4k_cache_b8_1b_bf16",
-             "value": round(decode_ms, 3), "unit": "ms/token",
-             "vs_baseline": vs_dec},
-            {"metric": "decode_ms_per_token_4k_cache_b8_1b_int8kv",
-             "value": round(decode_ms_q8, 3), "unit": "ms/token",
-             "vs_baseline": vs_dq8},
-            {"metric": "decode_ms_per_token_4k_cache_b8_1b_int8w_int8kv",
-             "value": round(decode_ms_w8, 3), "unit": "ms/token",
-             "vs_baseline": vs_dw8},
-            {"metric": "decode_ms_per_token_4k_cache_b8_1b_int4w_int8kv",
-             "value": round(decode_ms_w4, 3), "unit": "ms/token",
-             "vs_baseline": vs_dw4},
-            {"metric": "spec_decode_ms_per_token_3kctx_b1_1b_bf16",
-             "value": round(spec_ms, 3), "unit": "ms/token",
-             "vs_baseline": vs_spec},
-            {"metric": "serving_tokens_per_sec_ragged24_b8_1b_bf16",
-             "value": round(serving_tok_s, 1), "unit": "tokens/s",
-             "vs_baseline": vs_srv},
-            {"metric": "paged_serving_tokens_per_sec_ragged24_b8_1b_bf16",
-             "value": round(paged_serving_tok_s, 1), "unit": "tokens/s",
-             "vs_baseline": vs_psrv},
-            {"metric": "prefix_serving_tokens_per_sec_hotdoc3k_b8_1b_bf16",
-             "value": round(prefix_serving_tok_s, 1), "unit": "tokens/s",
-             "vs_baseline": vs_xsrv},
-            {"metric": "spec_serving_tokens_per_sec_rep24_b8_1b_bf16",
-             "value": round(spec_serving_tok_s, 1), "unit": "tokens/s",
-             "vs_baseline": vs_ssrv},
-            {"metric": "embed_serving_embeds_per_sec_ragged96_1b_bf16",
-             "value": round(embed_serving_eps, 1), "unit": "embeds/s",
-             "vs_baseline": vs_esrv},
-            {"metric": "train_tokens_per_sec_unified_1b_bf16",
-             "value": round(train_tok_s, 1), "unit": "tokens/s",
-             "vs_baseline": vs_tr},
-            {"metric": "moe_embeds_per_sec_seq512_8x88m_top2_bf16",
-             "value": round(moe_embeds_per_sec, 2), "unit": "embeds/s",
-             "vs_baseline": vs_menc},
-            {"metric": "moe_decode_ms_per_token_4k_cache_b8_8x88m_bf16",
-             "value": round(moe_decode_ms, 3), "unit": "ms/token",
-             "vs_baseline": vs_mdec},
-            {"metric": "moe_serving_tokens_per_sec_ragged24_b8_8x88m_bf16",
-             "value": round(moe_serving_tok_s, 1), "unit": "tokens/s",
-             "vs_baseline": vs_msrv},
-            {"metric": "search_qps_1m_1024d_k100_bf16",
-             "value": round(search_qps, 1), "unit": "queries/s",
-             "vs_baseline": vs_search},
-        ],
-    }))
+        "extra": {"cells[value,vs_record]": extra,
+                  "detail": "BENCH_DETAIL.json"},
+    }, separators=(",", ":"))
+    # the driver's capture window is 2000 bytes; an overflowing line parses
+    # as null and the whole round's perf record loses structure
+    assert len(line) <= 1800, f"bench line {len(line)}B > 1800B budget"
+    print(line)
 
 
 if __name__ == "__main__":

@@ -134,10 +134,19 @@ class FlatIndex:
             if mode == "exact":
                 SEG = self.EXACT_SEGMENT
                 Qn = scores.shape[0]
-                ns = N // SEG
-                if N % SEG or ns <= 2 * k:
-                    # tiny/oddly-padded corpus: the global sort is cheap
-                    return jax.lax.top_k(scores, k)
+                if N % SEG:
+                    # non-SEG-multiple capacity (pad_to < SEG): pad the score
+                    # row with -inf to the next SEG multiple so the pruned
+                    # path below still applies — the old global-top_k
+                    # fallback was ~minutes at 1M docs (ADVICE r4)
+                    pad = SEG - N % SEG
+                    scores = jnp.pad(
+                        scores, ((0, 0), (0, pad)), constant_values=-jnp.inf
+                    )
+                ns = scores.shape[1] // SEG
+                if ns <= 2 * k:
+                    # tiny corpus: the global sort is cheap
+                    return jax.lax.top_k(scores[:, :N], k)
                 # segment-pruned exact (see EXACT_SEGMENT proof): the k
                 # segments with the largest maxima provably cover the top-k
                 seg = scores.reshape(Qn, ns, SEG)
@@ -163,7 +172,10 @@ class FlatIndex:
     ) -> Tuple[np.ndarray, np.ndarray]:
         """Returns (scores [Q, k], ids [Q, k]) on host.
 
-        mode: 'exact' (lax.top_k) or 'approx' (hardware approx_max_k at
+        mode: 'exact' (segment-pruned exact top-k: returned VALUES match a
+        global sort exactly; under score ties at the k-th value — e.g.
+        duplicate docs — returned ids may differ from lax.top_k's
+        lowest-index tie-break rule) or 'approx' (hardware approx_max_k at
         `recall_target`, exact over the survivors). Default = the index's
         `search_mode` ('exact' unless configured otherwise)."""
         if self._search_fn is None:

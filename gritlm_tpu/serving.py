@@ -242,7 +242,12 @@ def _prng_key_host(seed) -> np.ndarray:
     program, and every eager device op in the scheduler is a host
     round-trip (~3-16 ms through a remote runtime tunnel vs ~1 ms to pass
     the same bytes as a dispatch argument). Matches threefry_seed exactly:
-    with x64 disabled the seed wraps to int32 and the high word is 0."""
+    with x64 disabled the seed wraps to int32 and the high word is 0.
+    ASSUMES the default threefry2x32 impl (uint32[2] layout); under any
+    other jax_default_prng_impl it falls back to the device path so the
+    key bytes stay correct (ADVICE r4)."""
+    if jax.config.jax_default_prng_impl != "threefry2x32":
+        return np.asarray(jax.random.key_data(jax.random.PRNGKey(seed)))
     s = int(np.asarray(seed))
     if jax.config.jax_enable_x64:
         return np.array([(s >> 32) & 0xFFFFFFFF, s & 0xFFFFFFFF], np.uint32)
@@ -1635,7 +1640,9 @@ class ServingEngine:
         one (its bytes already streamed back while this chunk computes);
         with overlap=False results are consumed before admitting, so a
         freed slot is refilled the same step it frees. Returns the number
-        of host-known-occupied slots at dispatch (0 = idle)."""
+        of host-known-occupied slots (0 = pool empty; a nonzero return
+        with no chunk dispatched means rows are fully dispatched and
+        awaiting retirement — keep stepping until 0, ADVICE r4)."""
         if not self.overlap:
             self._process(self._prev)
             self._prev = None
@@ -1678,7 +1685,7 @@ class ServingEngine:
             self._draining[slot] -= 1
             if self._draining[slot] <= 0:
                 del self._draining[slot]
-        return n_active if cur is not None else 0
+        return n_active
 
     def run(self, requests: Sequence[Request] = ()) -> List[Completion]:
         """Serve until queue and pool drain; returns generation

@@ -103,3 +103,21 @@ def test_segment_pruned_exact_matches_global_topk():
     np.testing.assert_allclose(
         scores, np.take_along_axis(queries @ docs.T, ref, axis=1), atol=1e-5
     )
+
+
+def test_pruned_path_non_multiple_capacity():
+    """pad_to=64 with capacity not a multiple of EXACT_SEGMENT must still
+    take the pruned path (score row padded with -inf to the next SEG
+    multiple), not the global-sort fallback — ADVICE r4: at 1M docs the
+    fallback is ~minutes. Parity vs numpy over the ragged tail."""
+    idx = FlatIndex(16, 570, dtype=np.float32, pad_to=64)  # capacity 576
+    idx.EXACT_SEGMENT = 33  # 576 % 33 = 15: exercises the -inf pad branch
+    docs = _random_unit(570, 16, 21)
+    idx.add(docs)
+    queries = _random_unit(5, 16, 22)
+    scores, ids = idx.search(queries, k=8, mode="exact")
+    ref = np.argsort(-(queries @ docs.T), axis=1)[:, :8]
+    np.testing.assert_array_equal(ids, ref)
+    np.testing.assert_allclose(
+        scores, np.take_along_axis(queries @ docs.T, ref, axis=1), atol=1e-5
+    )
