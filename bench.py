@@ -433,6 +433,104 @@ def bench_search(n_docs=1_000_000, dim=1024, k=100, n_queries=256):
     return R * n_queries / float(np.median(times)), sync_qps
 
 
+def bench_rag_p50(cfg, params, n_docs=24, n_queries=24, new_tokens=16):
+    """End-to-end RAG answer latency, p50 ms/query (VERDICT r4 next-7 —
+    completes BASELINE.json's 'QPS + p50 RAG latency' metric triple; the
+    reference publishes its >60% caching win at rag/eval.py:341-366 +
+    README.md:46). Protocol: hot FlatIndex over a fixed-length synthetic
+    corpus with doc KV caches precomputed at build (cache_docs=True), then
+    `n_queries` single-query answer() calls in doc-cache mode at fixed
+    query length, 16 new tokens, p50 of per-call seconds.
+
+    Returns (p50_doccache_ms, p50_prompt_ms). The doc-cache number is the
+    RATCHETED cell (lower is better); the prompt-mode number (query+doc
+    re-prefilled inline, no cache — the reference's no-cache baseline) is
+    informational: their ratio restates the caching win on TPU."""
+    from gritlm_tpu import GritLM
+    from gritlm_tpu.rag.engine import CacheMode, RAGEngine
+
+    model = GritLM(cfg, params, mode="unified", attn="bbcc")
+    rng = np.random.default_rng(23)
+    # byte tokenizer: chars == tokens, so fixed char counts pin the encode
+    # and prefill bucket shapes across calls (no stray recompiles)
+    letters = np.array(list("abcdefghijklmnopqrstuvwxyz "))
+    def text(n):
+        return "".join(rng.choice(letters, n))
+    passages = [{"title": text(16), "text": text(220)} for _ in range(n_docs)]
+    queries = [text(48) for _ in range(n_queries)]
+
+    eng = RAGEngine(model, max_new_tokens=new_tokens, encode_max_length=512)
+    eng.build_index(passages, cache_docs=True)
+    for q in queries[:3]:  # warmup: compiles encode/search/prefill/decode
+        eng.answer(q, mode=CacheMode.DOC)
+    lat_doc = [
+        eng.answer(q, mode=CacheMode.DOC).seconds * 1e3 for q in queries
+    ]
+    for q in queries[:2]:
+        eng.answer(q, mode=CacheMode.PROMPT_QUERY_DOC)
+    lat_prompt = [
+        eng.answer(q, mode=CacheMode.PROMPT_QUERY_DOC).seconds * 1e3
+        for q in queries
+    ]
+    return float(np.median(lat_doc)), float(np.median(lat_prompt))
+
+
+def bench_7b():
+    """Reference-flagship-scale cells on ONE v5e via int8 (VERDICT r4
+    weak-3/next-3): GritLM-7B geometry (Mistral-7B, sliding window 4096;
+    /root/reference/scripts/training/train_gritlm_7b.sh, README.md:283).
+    bf16 7B cannot fit a 16GB chip (14.5GB weights + 3GB cache); w8a16 +
+    int8-KV fits (~9.6GB). Weights are random — decode bandwidth and
+    encode FLOPs do not depend on weight values. Host-init+quantize
+    (~2 min, once per bench run) then three recorded cells: int8 decode
+    ms/token, ragged24 continuous-batching serving tok/s, and w8a16
+    bidirectional encode embeds/s — the first embedding number at the
+    reference's scale. Returns None when the backend can't hold it
+    (CPU smoke runs / small-HBM chips), keeping the driver run safe."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return None
+    dev = jax.devices()[0]
+    try:
+        stats = dev.memory_stats() or {}
+    except Exception:
+        stats = {}
+    limit = stats.get("bytes_limit")
+    if limit is not None and limit < 12 * 2**30:
+        return None
+
+    import dataclasses
+
+    from gritlm_tpu.config import mistral_7b
+    from gritlm_tpu.models import init_params
+    from gritlm_tpu.training.quant import quantize_for_serving
+
+    cfg = dataclasses.replace(mistral_7b(), sliding_window=4096)
+    # init + quantize on the host (132 GB RAM): quantizing on-device would
+    # need bf16 and int8 resident simultaneously
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = init_params(cfg, jax.random.PRNGKey(0), with_lm_head=True)
+        params = quantize_for_serving(params)
+        params = jax.tree_util.tree_map(lambda x: np.asarray(x), params)
+    params = jax.device_put(params, dev)
+    jax.block_until_ready(params)
+
+    decode_ms = bench_decode(cfg, params, quant=True)
+    embeds_per_sec = bench_encode(cfg, params, b=16, s=512)
+
+    from gritlm_tpu.serving import ServingEngine
+
+    eng = ServingEngine(
+        cfg, params, max_batch=8, max_len=2048, eos_id=-1,
+        kv_quant=True, chunk_size=16, prompt_buckets=(512, 1024, 1536),
+    )
+    tok_s = _median_serving_passes(eng, _ragged_requests(cfg))
+    del eng, params
+    return decode_ms, tok_s, embeds_per_sec
+
+
 def bench_train(cfg, params):
     import jax
     import jax.numpy as jnp
@@ -518,6 +616,7 @@ def main() -> None:
     spec_serving_tok_s = bench_spec_serving(cfg, params)
     embed_serving_eps = bench_embed_serving(cfg, params)
     train_tok_s = bench_train(cfg, params)
+    rag_p50_ms, rag_p50_prompt_ms = bench_rag_p50(cfg, params)
     del params  # free the dense 1B before the MoE model comes up
 
     moe_cfg = _moe_bench_config()
@@ -532,6 +631,7 @@ def main() -> None:
     del moe_params
 
     search_device_qps, search_sync_qps = bench_search()
+    r7b = bench_7b()  # last: ~9.6GB HBM + a ~2-min host init, None on CPU
 
     record = {}
     if os.path.exists(RECORD_FILE):
@@ -602,7 +702,22 @@ def main() -> None:
         ("search_device_qps", "search_dev",
          "search_device_qps_1m_1024d_k100_bf16_burst8", search_device_qps,
          "queries/s", True),
+        ("rag_p50_ms_doccache", "rag_p50",
+         "rag_p50_ms_doccache_16new_1b_bf16", rag_p50_ms, "ms", False),
     ]
+    if r7b is not None:
+        decode_ms_7b, serving_tok_s_7b, embeds_per_sec_7b = r7b
+        cells += [
+            ("decode_ms_per_token_7b", "dec7b",
+             "decode_ms_per_token_4k_cache_b8_7b_int8w_int8kv",
+             decode_ms_7b, "ms/tok", False),
+            ("serving_tokens_per_sec_7b", "srv7b",
+             "serving_tokens_per_sec_ragged24_b8_7b_int8w_int8kv",
+             serving_tok_s_7b, "tok/s", True),
+            ("embeds_per_sec_7b", "enc7b",
+             "embeds_per_sec_b16_seq512_7b_int8w", embeds_per_sec_7b,
+             "embeds/s", True),
+        ]
 
     extra = {}
     detail = []
@@ -622,6 +737,14 @@ def main() -> None:
                    "value": round(search_sync_qps, 1), "unit": "queries/s",
                    "vs_baseline": None,
                    "note": "informational; tunnel-dominated, not ratcheted"})
+    # informational: the no-cache RAG baseline (query+doc re-prefilled
+    # inline) — the doccache/prompt ratio restates the reference's >60%
+    # caching win (rag/eval.py:341-366) on TPU
+    extra["rag_p50_nocache"] = [round(rag_p50_prompt_ms, 1), None]
+    detail.append({"metric": "rag_p50_ms_promptmode_16new_1b_bf16",
+                   "value": round(rag_p50_prompt_ms, 1), "unit": "ms",
+                   "vs_baseline": None,
+                   "note": "informational no-cache baseline for rag_p50"})
 
     vs_enc = ratchet("embeds_per_sec", embeds_per_sec)
     record.update({
