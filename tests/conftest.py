@@ -15,6 +15,14 @@ try:
 except Exception:
     pass  # backend already initialized (e.g. conftest re-entry) — keep going
 jax.config.update("jax_default_matmul_precision", "highest")
+# persistent compile cache: the suite is compile-dominated (hundreds of
+# executables over an 8-device virtual mesh), so warm reruns skip most of
+# the XLA work; the cold-run wall time is what README documents
+import os  # noqa: E402
+
+os.makedirs("/tmp/gritlm_tpu_jax_cache_tests", exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", "/tmp/gritlm_tpu_jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
 
