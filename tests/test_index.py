@@ -105,6 +105,28 @@ def test_segment_pruned_exact_matches_global_topk():
     )
 
 
+def test_pallas_fused_search_interpret_parity():
+    """The fused Pallas scores+segmax pass (TPU pass-1) must match the
+    einsum path exactly — run here in interpret mode on CPU. Covers the
+    n_docs validity mask inside the kernel (n_docs < capacity tail) and
+    the transposed segmax layout."""
+    dim, cap = 128, 2048  # capacity % PALLAS_TILE_N == 0
+    docs = _random_unit(1900, dim, 31)  # ragged tail: 148 masked rows
+    queries = _random_unit(16, dim, 32)  # Q % 8 == 0
+
+    ref = FlatIndex(dim, cap, dtype=np.float32)
+    ref.add(docs)
+    rs, ri = ref.search(queries, k=10, mode="exact")
+
+    idx = FlatIndex(dim, cap, dtype=np.float32)
+    idx.add(docs)
+    idx._search_fn, _ = idx._make_search(interpret_pallas=True)
+    ps, pi = idx.search(queries, k=10, mode="exact")
+
+    np.testing.assert_allclose(ps, rs, atol=1e-5)
+    np.testing.assert_array_equal(pi, ri)
+
+
 def test_pruned_path_non_multiple_capacity():
     """pad_to=64 with capacity not a multiple of EXACT_SEGMENT must still
     take the pruned path (score row padded with -inf to the next SEG
