@@ -700,9 +700,14 @@ def _moe_mlp_dropless(p: dict, x: jax.Array, cfg: ModelConfig):
     ys = jax.lax.ragged_dot(
         jax.nn.silu(h) * u, _w(p["down"], xs.dtype), group_sizes,
     )  # [T*k, D]
-    w_flat = jnp.take(top_w.reshape(-1), order).astype(jnp.float32)
-    out = jnp.zeros((T, D), jnp.float32).at[tok].add(
-        ys.astype(jnp.float32) * w_flat[:, None]
+    # combine by INVERTING the sort permutation (gather) instead of a
+    # scatter-add over tok: XLA TPU scatters serialize — measured v5e,
+    # 8x88M top-2 encode (scripts/exp_moe_impl.py breakdown): scatter
+    # combine +1.22 ms/layer vs gather +0.46 ms, outputs bit-identical
+    inv = jnp.argsort(order)  # rows back to (token, choice) order
+    ys_tok = jnp.take(ys, inv, axis=0).reshape(T, k, D)
+    out = jnp.einsum(
+        "tkd,tk->td", ys_tok.astype(jnp.float32), top_w.astype(jnp.float32)
     )
     return (out.astype(x.dtype).reshape(B, S, D), router_logits,
             jnp.zeros((), jnp.float32))

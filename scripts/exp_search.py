@@ -1,28 +1,35 @@
-"""Flat-index search roofline experiment (VERDICT r3 next-5).
+"""Flat-index search roofline experiment (VERDICT r3 next-5, r4 next-1).
 
-Burst-dispatches every variant (N sync points amortized over `reps`
-in-flight programs) because a synchronous device_get round-trip through
-the axon tunnel costs ~1 ms — comparable to the kernel itself — and
-under host CPU load can inflate to ~30 ms, silently dominating any
-per-call measurement. Run this with the machine otherwise idle.
+Protocol (r5): every variant is timed by scanning R=8 distinct query
+blocks inside ONE jitted program — one dispatch + one tiny fetch — so the
+per-dispatch tunnel round-trip (~25-45 ms through the axon runtime,
+host-load-dependent; separate dispatches do NOT overlap through it) is
+amortized 8x and the number tracks on-device kernel time. The older
+"burst of in-flight dispatches" protocol still carried the full
+per-dispatch constant and understated every kernel by ~3x.
 
 Variants:
-  matmul      — scores GEMM only, fused row-sum consumer (no top-k)
-  exact       — GEMM + segment-pruned exact top-k (index search_mode=
-                "exact": k largest-max segments provably cover the top-k)
-  approx      — GEMM + lax.approx_max_k(k)   (index search_mode="approx",
-                recall_target 0.95, exact re-sort over survivors)
-  global      — GEMM + global lax.top_k (the naive exact path; minutes at
-                1M docs — run with --global only when you mean it)
+  matmul       — scores GEMM + row-sum consumer (no top-k; the FLOPs floor)
+  exact        — GEMM + where(n_docs) + segment-pruned exact top-k
+                 (the XLA fallback path in index/flat.py)
+  pallas       — the fused Pallas pass-1 (scores+mask+segmax in one corpus
+                 sweep, index/flat.py _pallas_scores_segmax) + the same
+                 pruned tail. The production TPU path.
+  approx       — GEMM + lax.approx_max_k (recall 0.95, exact re-sort)
+  global       — GEMM + global lax.top_k (naive; minutes at 1M — --global)
 
-Measured v5e (N=1M, D=1024, Q=256, k=100): per-dispatch tunnel overhead
-is ~25 ms (an 8k^3 matmul runs at 330 TF/s inside a fori_loop but a
-single dispatched call reads ~30 ms), so all numbers here carry that
-constant; matmul ~28 ms, exact(pruned) ~35 ms, approx ~28 ms, while the
-old per-64k-chunk lax.top_k exact path cost ~345 ms — the sort network
-was ~30x the pruned cost.
+Measured v5e (N=1,000,448 = the real FlatIndex capacity for 1M docs,
+D=1024 bf16, Q=256, k=100), scan protocol:
+  matmul ~7.4 ms; XLA exact 18.7 ms (13.7k qps); PALLAS exact 13.3 ms
+  (19.3k qps, values bit-identical); approx ~7.8 ms (recall 0.95).
+Component deltas (separate runs): +2.4 ms where() mask, +2.5 ms segmax
+re-read (both folded into the Pallas sweep), +3 ms candidate gather,
++2.2 ms final top_k at SEG=256 (~1.1 ms at SEG=128).
+approx_max_k(recall_target=1.0) is value-exact but measured 84 ms — the
+hardware PartialReduce path degenerates at exactness; discarded.
 
 Usage: python scripts/exp_search.py [--n 1000000] [--q 256] [--k 100]
+       [--global]
 """
 
 import argparse
@@ -49,60 +56,97 @@ def main():
     import jax.numpy as jnp
     import ml_dtypes
 
-    N, D, Q, K = args.n, args.d, args.q, args.k
+    from gritlm_tpu.index.flat import FlatIndex
+
+    D, Q, K, R = args.d, args.q, args.k, args.reps
+    # real FlatIndex shape: capacity rounds up to pad_to=1024
+    N = -(-args.n // 1024) * 1024
     rng = np.random.default_rng(13)
     nb = 8
     blk = rng.standard_normal((N // nb, D), dtype=np.float32).astype(
         ml_dtypes.bfloat16)
     corpus = jnp.concatenate([jnp.asarray(blk)] * nb, axis=0)
     corpus.block_until_ready()
-    q = jnp.asarray(rng.standard_normal((Q, D), dtype=np.float32).astype(
-        ml_dtypes.bfloat16))
+    qs = jnp.asarray(rng.standard_normal((R, Q, D), dtype=np.float32)
+                     .astype(ml_dtypes.bfloat16))
+    n_docs = jnp.int32(args.n)
 
-    def burst(f, reps=args.reps):
-        np.asarray(jax.device_get(jax.tree_util.tree_leaves(f(corpus, q))[0]))
-        t0 = time.perf_counter()
-        outs = [f(corpus, q) for _ in range(reps)]
-        for o in outs:
-            np.asarray(jax.device_get(jax.tree_util.tree_leaves(o)[0]))
-        return (time.perf_counter() - t0) / reps * 1e3
+    idx = FlatIndex.__new__(FlatIndex)  # timing-only shell for the kernels
+    idx.mesh = None
+    idx.recall_target = 0.95
+
+    SEG = FlatIndex.EXACT_SEGMENT
+    ns = N // SEG
 
     def scores(e, qq):
+        s = jnp.einsum("qd,nd->qn", qq, e,
+                       preferred_element_type=jnp.float32)
+        valid = jax.lax.broadcasted_iota(jnp.int32, (1, N), 1) < n_docs
+        return jnp.where(valid, s, -jnp.inf)
+
+    def v_matmul(e, qq):
         return jnp.einsum("qd,nd->qn", qq, e,
-                          preferred_element_type=jnp.float32)
+                          preferred_element_type=jnp.float32).sum(axis=1)
 
-    SEG = 256
-    Np = -(-N // SEG) * SEG
+    def pruned_tail(s, segmax, SEG):
+        Qn = s.shape[0]
+        _, segidx = jax.lax.top_k(segmax, K)
+        cand = jnp.take_along_axis(
+            s.reshape(Qn, -1, SEG), segidx[:, :, None], axis=1)
+        v, ii = jax.lax.top_k(cand.reshape(Qn, K * SEG), K)
+        ids = jnp.take_along_axis(segidx, ii // SEG, axis=1) * SEG + ii % SEG
+        return v, ids
 
-    def exact_pruned(e, qq):
-        # the FlatIndex exact path (index/flat.py EXACT_SEGMENT proof)
+    def v_exact(e, qq):
         s = scores(e, qq)
-        if Np != N:
-            s = jnp.pad(s, ((0, 0), (0, Np - N)), constant_values=-jnp.inf)
-        seg = s.reshape(Q, Np // SEG, SEG)
-        _, segidx = jax.lax.top_k(seg.max(axis=2), K)
-        cand = jnp.take_along_axis(seg, segidx[:, :, None], axis=1)
-        v, ii = jax.lax.top_k(cand.reshape(Q, K * SEG), K)
-        return v, jnp.take_along_axis(segidx, ii // SEG, axis=1) * SEG + ii % SEG
+        v, _ = pruned_tail(s, s.reshape(Q, ns, SEG).max(axis=2), SEG)
+        return v.sum(axis=1)
 
-    mm = jax.jit(lambda e, qq: scores(e, qq).sum(axis=1))
-    ex = jax.jit(exact_pruned)
-    ap_ = jax.jit(lambda e, qq: jax.lax.approx_max_k(
-        scores(e, qq), K, recall_target=0.95, aggregate_to_topk=True))
-    gl = jax.jit(lambda e, qq: jax.lax.top_k(scores(e, qq), K))
+    def v_pallas(e, qq):
+        s, segmax_t = FlatIndex._pallas_scores_segmax(idx, qq, e, n_docs)
+        v, _ = pruned_tail(s, segmax_t.T, FlatIndex.PALLAS_SEGMENT)
+        return v.sum(axis=1)
+
+    def v_approx(e, qq):
+        v, _ = jax.lax.approx_max_k(scores(e, qq), K, recall_target=0.95,
+                                    aggregate_to_topk=True)
+        return v.sum(axis=1)
+
+    def v_global(e, qq):
+        v, _ = jax.lax.top_k(scores(e, qq), K)
+        return v.sum(axis=1)
+
+    def scan_time(f, reps=3):
+        @jax.jit
+        def run(e, qs):
+            def body(_, qq):
+                return 0, f(e, qq)
+            _, out = jax.lax.scan(body, 0, qs)
+            return out
+        np.asarray(jax.device_get(run(corpus, qs).ravel()[0:1]))
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            o = run(corpus, qs)
+            np.asarray(jax.device_get(o.ravel()[0:1]))
+            ts.append((time.perf_counter() - t0) / R * 1e3)
+        return float(np.median(ts))
 
     gb = corpus.nbytes / 2**30
-    roof_ms = gb / 0.82 * 1.0  # 820 GB/s HBM
     tf = 2 * Q * N * D / 1e12
     print(f"N={N} D={D} Q={Q} k={K}  corpus {gb:.2f} GB  "
-          f"roofline read {roof_ms:.2f} ms / matmul {tf / 0.197:.2f} ms "
-          f"@197TFps")
-    variants = [("matmul", mm), ("exact", ex), ("approx", ap_)]
+          f"roofline read {gb / 0.82 * 1e3 / 1e3:.2f} ms / matmul "
+          f"{tf / 0.197:.2f} ms @197TFps")
+    variants = [("matmul", v_matmul), ("exact(xla)", v_exact),
+                ("approx", v_approx)]
+    if jax.default_backend() == "tpu" and N % FlatIndex.PALLAS_TILE_N == 0 \
+            and Q % 8 == 0:
+        variants.insert(2, ("exact(pallas)", v_pallas))
     if args.global_:
-        variants.append(("global", gl))
+        variants.append(("global", v_global))
     for name, f in variants:
-        ms = burst(f)
-        print(f"{name:7s}: {ms:7.2f} ms  = {Q / ms * 1e3:8.0f} qps   "
+        ms = scan_time(f)
+        print(f"{name:13s}: {ms:7.2f} ms  = {Q / ms * 1e3:8.0f} qps   "
               f"({gb / ms * 1e3:6.0f} GB/s effective)")
 
 
