@@ -615,8 +615,10 @@ def main() -> None:
     prefix_serving_tok_s = bench_prefix_serving(cfg, params)
     spec_serving_tok_s = bench_spec_serving(cfg, params)
     embed_serving_eps = bench_embed_serving(cfg, params)
-    train_tok_s = bench_train(cfg, params)
+    # rag runs BEFORE train: bench_train's jitted step donates the train
+    # state, whose leaves alias these params — they are deleted afterwards
     rag_p50_ms, rag_p50_prompt_ms = bench_rag_p50(cfg, params)
+    train_tok_s = bench_train(cfg, params)
     del params  # free the dense 1B before the MoE model comes up
 
     moe_cfg = _moe_bench_config()

@@ -702,7 +702,7 @@ def _moe_mlp_dropless(p: dict, x: jax.Array, cfg: ModelConfig):
     )  # [T*k, D]
     # combine by INVERTING the sort permutation (gather) instead of a
     # scatter-add over tok: XLA TPU scatters serialize — measured v5e,
-    # 8x88M top-2 encode (scripts/exp_moe_impl.py breakdown): scatter
+    # 8x88M top-2 encode (scripts/exp_moe_combine.py): scatter
     # combine +1.22 ms/layer vs gather +0.46 ms, outputs bit-identical
     inv = jnp.argsort(order)  # rows back to (token, choice) order
     ys_tok = jnp.take(ys, inv, axis=0).reshape(T, k, D)
