@@ -60,6 +60,41 @@ CONT_AFTER_QUERY_DOC_CACHES = (
 ANSWER_PROMPT = "The answer is"
 
 
+_JITTED: Dict[str, Any] = {}  # lazy module-level jit cache (shared across engines)
+
+
+def _pool_gather(kp, vp, rows, w):
+    """Jitted device-pool row gather: [L,N,W,KD] pools + [B] row ids →
+    batch k/v [L,B,W,KD] and the valid-prefix mask [B,W]."""
+    if "gather" not in _JITTED:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def go(kp, vp, rows, w):
+            k = jnp.take(kp, rows, axis=1)
+            v = jnp.take(vp, rows, axis=1)
+            mask = (
+                jnp.arange(kp.shape[2])[None, :] < w[:, None]
+            ).astype(jnp.int32)
+            return k, v, mask
+
+        _JITTED["gather"] = go
+    return _JITTED["gather"](kp, vp, rows, w)
+
+
+def _pool_gather_scales(ksp, vsp, rows):
+    if "scales" not in _JITTED:
+        import jax
+        import jax.numpy as jnp
+
+        _JITTED["scales"] = jax.jit(
+            lambda ksp, vsp, rows: (jnp.take(ksp, rows, axis=1),
+                                    jnp.take(vsp, rows, axis=1))
+        )
+    return _JITTED["scales"](ksp, vsp, rows)
+
+
 class CacheMode(str, enum.Enum):
     NO_RETRIEVAL = "no_retrieval"
     PROMPT_QUERY_DOC = "prompt_query_doc"
@@ -101,6 +136,7 @@ class RAGEngine:
         speculative: bool = False,
         spec_ngram: int = 3,
         spec_k: int = 7,
+        doc_pool_bytes: int = 2 * 2**30,
     ):
         if speculative and min_new_tokens > 0:
             raise ValueError(
@@ -133,6 +169,16 @@ class RAGEngine:
         # move_cache_to_cpu; a single entry — two 8k-doc stacked caches
         # plus the generation cache overflow a 16GB chip)
         self._stacked_last: Optional[tuple] = None  # (key, KVCache)
+        # device-resident pool of ALL store entries, stacked once into
+        # [L, N, Wmax, ...] buffers; per-call fetch becomes a jitted gather
+        # whose ids ride the dispatch — vs re-uploading the stacked KV
+        # (~17 MB/call at 1B geometry) through the host→device link every
+        # answer(), which dominated DOC-mode p50 on remote-tunnel runtimes
+        # (measured in scripts/exp_rag_doccache.py). Pinned only while the
+        # whole pool fits `doc_pool_bytes`; larger corpora keep the host
+        # store (the reference's move_cache_to_cpu regime, rag/eval.py:132).
+        self.doc_pool_bytes = doc_pool_bytes
+        self._device_pool: Dict[bool, Any] = {}
 
     # ------------------------------------------------------------------ build
 
@@ -153,6 +199,7 @@ class RAGEngine:
         self._doc_cache.clear()
         self._doc_store.clear()
         self._stacked_last = None
+        self._device_pool.clear()
         embs = self.model.encode_corpus(
             list(passages),
             batch_size=batch_size,
@@ -177,6 +224,9 @@ class RAGEngine:
             range(len(self.index.passages)), after_query=after_query,
             batch_size=batch_size,
         )
+        # pin the device pool now (one transfer) so the first answer()
+        # doesn't pay it inside its measured latency
+        self._build_device_pool(after_query)
 
     def _ensure_doc_entries(
         self, doc_ids, after_query: bool = False, batch_size: int = 8
@@ -188,6 +238,8 @@ class RAGEngine:
             {int(d) for d in doc_ids
              if (int(d), after_query) not in self._doc_store}
         )
+        if missing:  # store grows → any pinned pool is stale
+            self._device_pool.pop(after_query, None)
         for start in range(0, len(missing), batch_size):
             ids = missing[start : start + batch_size]
             docs = [self.index.passages[d] for d in ids]
@@ -270,6 +322,7 @@ class RAGEngine:
 
         self._doc_store = {}
         self._stacked_last = None
+        self._device_pool = {}
         for doc_id, after_query, w, quant in data["__keys__"]:
             tag = f"{doc_id}_{int(after_query)}"
             self._doc_store[(int(doc_id), bool(after_query))] = (
@@ -279,13 +332,90 @@ class RAGEngine:
             )
         return len(self._doc_store)
 
+    def _build_device_pool(self, after_query: bool) -> None:
+        """Stack every store entry for `after_query` into device-resident
+        [L, N, Wmax, ...] pools (one transfer, at build/first-fetch time).
+        Stores None instead when the pool would exceed `doc_pool_bytes` —
+        fetches then stay on the per-call host path."""
+        import jax
+
+        items = sorted(
+            (key[0], e) for key, e in self._doc_store.items()
+            if key[1] == after_query
+        )
+        if not items:
+            self._device_pool[after_query] = None
+            return
+        ids = [d for d, _ in items]
+        es = [e for _, e in items]
+        L, _, KD = es[0][0].shape
+        W = max(e[2] for e in es)
+        N = len(es)
+        quant = es[0][3] is not None
+        nbytes = 2 * L * N * W * KD * es[0][0].dtype.itemsize
+        if quant:
+            Kv = es[0][3].shape[1]
+            nbytes += 2 * L * N * Kv * W * es[0][3].dtype.itemsize
+        if nbytes > self.doc_pool_bytes:
+            self._device_pool[after_query] = None
+            return
+        k = np.zeros((L, N, W, KD), es[0][0].dtype)
+        v = np.zeros_like(k)
+        ks = vs = None
+        if quant:
+            ks = np.zeros((L, N, Kv, W), es[0][3].dtype)
+            vs = np.zeros_like(ks)
+        widths = np.zeros((N,), np.int32)
+        for i, (ki, vi, w, ksi, vsi) in enumerate(es):
+            k[:, i, :w] = ki
+            v[:, i, :w] = vi
+            widths[i] = w
+            if quant:
+                ks[:, i, :, :w] = ksi
+                vs[:, i, :, :w] = vsi
+        self._device_pool[after_query] = (
+            {d: i for i, d in enumerate(ids)},  # doc id → pool row
+            widths,
+            jax.device_put(k), jax.device_put(v),
+            None if ks is None else jax.device_put(ks),
+            None if vs is None else jax.device_put(vs),
+        )
+
+    def _gather_from_pool(self, pool, doc_ids: List[int]):
+        """One jitted gather out of the device pool → KVCache for the batch
+        (rows right-padded to the pool width; mask marks valid prefixes).
+        Only the [B]-sized id/width vectors cross the host→device link."""
+        from gritlm_tpu.models.transformer import KVCache
+
+        row_of, widths = pool[0], pool[1]
+        rows = np.asarray([row_of[d] for d in doc_ids], np.int32)
+        w = widths[rows]
+        k, v, mask = _pool_gather(pool[2], pool[3], rows, w)
+        ks = vs = None
+        if pool[4] is not None:
+            ks, vs = _pool_gather_scales(pool[4], pool[5], rows)
+        import jax.numpy as jnp
+
+        return KVCache(
+            k=k, v=v, mask=mask,
+            length=jnp.asarray(np.int32(pool[2].shape[2])),
+            k_scale=ks, v_scale=vs,
+        )
+
     def _fetch_doc_caches(self, doc_ids: List[int], after_query: bool):
         """Stack per-doc host caches into one device KVCache [L,B,W,...]
         (W = max doc width in the batch; mask marks each row's valid prefix).
-        Returns None unless every hit is in the store."""
+        Served from the device-resident pool when it is pinned (a jitted
+        gather — no per-call KV re-upload); falls back to host stacking +
+        device_put otherwise. Returns None unless every hit is in the store."""
         entries = [self._doc_store.get((d, after_query)) for d in doc_ids]
         if any(e is None for e in entries):
             return None
+        if after_query not in self._device_pool:
+            self._build_device_pool(after_query)
+        pool = self._device_pool[after_query]
+        if pool is not None and all(d in pool[0] for d in doc_ids):
+            return self._gather_from_pool(pool, doc_ids)
         import jax
 
         from gritlm_tpu.models.transformer import KVCache

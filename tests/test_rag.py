@@ -202,6 +202,77 @@ def test_doc_store_persistence_load_then_serve(tmp_path):
     assert got == gold
 
 
+@pytest.mark.parametrize("kv_quant", [False, True])
+def test_device_pool_matches_host_fetch(kv_quant):
+    """The device-resident doc-cache pool (jitted gather, no per-call KV
+    re-upload) must be value-identical to the host stack+device_put path:
+    same k/v/mask/scales on every valid slot, same answers in all three
+    doc-cache modes — including ragged doc widths and int8 stores."""
+    import jax
+
+    model = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0,
+                   kv_quant=kv_quant)
+    docs = [{"title": f"t{i}", "text": "doc " + "word " * (3 + 5 * i)}
+            for i in range(5)]  # ragged widths
+    queries = ["what is doc 1?", "tell me about doc 4"]
+
+    pooled = RAGEngine(model, max_new_tokens=4, encode_max_length=64)
+    pooled.build_index(docs, batch_size=4, cache_docs=True)
+    assert pooled._device_pool.get(False) is not None  # pinned at build
+
+    host = RAGEngine(model, max_new_tokens=4, encode_max_length=64,
+                     doc_pool_bytes=0)  # forces the host fetch path
+    host.index = pooled.index
+    host._doc_store = pooled._doc_store
+    host._device_pool = {}
+
+    ids = [0, 3, 1]
+    a = pooled._fetch_doc_caches(ids, False)
+    b = host._fetch_doc_caches(ids, False)
+    assert host._device_pool[False] is None  # over budget → not pinned
+    Wb = b.k.shape[2]  # host stacks to the batch max; pool to the corpus max
+    np.testing.assert_array_equal(np.asarray(a.mask)[:, :Wb], np.asarray(b.mask))
+    assert not np.asarray(a.mask)[:, Wb:].any()
+    for i in range(len(ids)):
+        w = int(np.asarray(b.mask)[i].sum())
+        np.testing.assert_array_equal(
+            np.asarray(a.k[:, i, :w]), np.asarray(b.k[:, i, :w]))
+        np.testing.assert_array_equal(
+            np.asarray(a.v[:, i, :w]), np.asarray(b.v[:, i, :w]))
+        if kv_quant:
+            np.testing.assert_array_equal(
+                np.asarray(a.k_scale[:, i, :, :w]),
+                np.asarray(b.k_scale[:, i, :, :w]))
+            np.testing.assert_array_equal(
+                np.asarray(a.v_scale[:, i, :, :w]),
+                np.asarray(b.v_scale[:, i, :, :w]))
+
+    for mode in (CacheMode.DOC, CacheMode.QUERYDOC, CacheMode.DOCQUERY):
+        if mode == CacheMode.QUERYDOC:
+            pooled.precompute_all_doc_caches(after_query=True)
+            host._doc_store = pooled._doc_store
+            host._device_pool = {}
+        got = [r.answer for r in pooled.answer_batch(list(queries), mode=mode)]
+        want = [r.answer for r in host.answer_batch(list(queries), mode=mode)]
+        assert got == want, mode
+
+
+def test_device_pool_invalidated_when_store_grows():
+    """New store entries (serve() on unseen docs) must drop the pinned pool
+    so fetches never serve stale rows."""
+    model = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0)
+    eng = RAGEngine(model, max_new_tokens=4, encode_max_length=64)
+    docs = [{"title": "", "text": f"growing doc {i}"} for i in range(4)]
+    eng.build_index(docs, batch_size=4)  # no cache_docs
+    eng._ensure_doc_entries([0, 1])
+    c = eng._fetch_doc_caches([0, 1], False)  # lazily pins a 2-doc pool
+    assert c is not None and eng._device_pool.get(False) is not None
+    assert len(eng._device_pool[False][0]) == 2
+    eng._ensure_doc_entries([2, 3])  # store grows → pool dropped
+    c = eng._fetch_doc_caches([0, 3], False)  # re-pins over all 4 docs
+    assert c is not None and len(eng._device_pool[False][0]) == 4
+
+
 def test_doc_store_roundtrip_int8(tmp_path):
     """Quantized (int8 KV) doc stores round-trip bit-exactly."""
     model = GritLM(tiny_mistral(), mode="unified", attn="bbcc", seed=0,
