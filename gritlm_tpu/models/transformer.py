@@ -113,7 +113,10 @@ def _w(node, dtype=None):
     Plain arrays pass through untouched."""
     if isinstance(node, dict):
         if "q8" in node:
-            out = node["q8"].astype(jnp.float32) * node["scale"]
+            from gritlm_tpu.ops.quant_matmul import _slice_node
+
+            n = _slice_node(node)  # resolves layer-stacked serving leaves
+            out = n["q8"].astype(jnp.float32) * n["scale"]
             return out.astype(dtype or jnp.bfloat16)
         if "q4" in node:
             from gritlm_tpu.ops.quant_matmul import _slice_node
@@ -165,12 +168,16 @@ def _mm(x: jax.Array, node) -> jax.Array:
         from gritlm_tpu.ops.quant_matmul import w4a16_matmul
 
         return w4a16_matmul(x, node)
+    if isinstance(node, dict) and "q8" in node:
+        from gritlm_tpu.ops.quant_matmul import w8a16_matmul
+
+        return w8a16_matmul(x, node)
     return x @ _w(node, x.dtype)
 
 
 def _split_q4_leaves(layers: dict):
-    """Partition the stacked layer tree for the layer scan: int4 serving
-    leaves ({"q4","scale"} dicts) are *removed* from the scan xs and
+    """Partition the stacked layer tree for the layer scan: quantized
+    serving leaves ({"q4"|"q8","scale"} dicts) are *removed* from the scan xs and
     returned separately, still layer-stacked. Scanning them as xs would
     dynamic-slice the packed weights per layer — and because the consumer
     is a Pallas custom call, XLA must MATERIALIZE that slice (a full HBM
@@ -185,7 +192,7 @@ def _split_q4_leaves(layers: dict):
 
     def walk(node, path):
         if isinstance(node, dict):
-            if "q4" in node and "scale" in node:
+            if ("q4" in node or "q8" in node) and "scale" in node:
                 stacked[path] = node
                 return None
             return {k: walk(v, path + (k,)) for k, v in node.items()}
@@ -870,9 +877,9 @@ def forward(
             dropped = jnp.zeros((), jnp.float32)
         return x + mlp_out, new_kv, router_logits, dropped
 
-    # int4 serving leaves ride the scan as loop-invariant closures (scalar-
-    # prefetch indexed inside the kernel), never as sliced xs — see
-    # _split_q4_leaves for why.
+    # quantized serving leaves (int4 AND int8) ride the scan as loop-
+    # invariant closures (scalar-prefetch indexed inside the kernel), never
+    # as sliced xs — see _split_q4_leaves for why.
     layers_xs, q4_stacked = _split_q4_leaves(params["layers"])
 
     new_cache = None
@@ -1030,7 +1037,7 @@ def lm_head_kernel(params: dict, cfg: ModelConfig, dtype) -> jax.Array:
 def logits_from_hidden(params: dict, cfg: ModelConfig, hidden: jax.Array) -> jax.Array:
     if "lm_head" in params:
         node = params["lm_head"]["kernel"]
-        if isinstance(node, dict) and "q4" in node:
+        if isinstance(node, dict) and ("q4" in node or "q8" in node):
             return _mm(hidden, node)
     return hidden @ lm_head_kernel(params, cfg, hidden.dtype)
 

@@ -78,11 +78,13 @@ _NBLK_CAP = 2048
 
 
 def _slice_node(node: dict) -> dict:
-    """Resolve a layer-stacked node ({"q4": [L, K/2, N], "lidx": i}) to the
-    2-D view for the XLA fallback path (the slice fuses into the dequant)."""
+    """Resolve a layer-stacked node ({"q4"|"q8": [L, ...], "lidx": i}) to
+    the 2-D view for the XLA fallback path (the slice fuses into the
+    dequant)."""
     if "lidx" in node:
+        key = "q4" if "q4" in node else "q8"
         return {
-            "q4": node["q4"][node["lidx"]],
+            key: node[key][node["lidx"]],
             "scale": node["scale"][node["lidx"]],
         }
     return node
@@ -92,6 +94,12 @@ def _reference(x: jax.Array, node: dict) -> jax.Array:
     from gritlm_tpu.training.quant import dequantize_kernel_int4
 
     return x @ dequantize_kernel_int4(_slice_node(node), x.dtype)
+
+
+def _reference8(x: jax.Array, node: dict) -> jax.Array:
+    from gritlm_tpu.training.quant import dequantize_kernel
+
+    return x @ dequantize_kernel(_slice_node(node), x.dtype)
 
 
 def _pick_block(dim: int, align: int, cap: int):
@@ -180,6 +188,112 @@ def _w4_call(x2, packed, scale, lidx, *, kbp, nb, g, out_dtype):
         interpret=_interpret(),
     )(lidx, x2, packed, scale5, scale5)
     return out
+
+
+_KBLK_CAP8 = 512  # int8 contracting-block cap (no nibble temps → roomier)
+
+
+def _kernel8(lidx_ref, x_ref, w_ref, s_ref, o_ref, acc_ref):
+    """w8a16 block matmul: int8 weight block → bf16 (EXACT: |q|≤127) feeds
+    the MXU; the per-output-channel scale applies once to the fp32
+    accumulator at the last k step (quantize_kernel's scale is per [1, N],
+    not per k-group, so it commutes out of the contraction — unlike int4's
+    grouped scales, which must weight each partial block)."""
+    k = pl.program_id(1)
+
+    @pl.when(k == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    kb = w_ref.shape[1]
+    wq = w_ref[0].astype(jnp.bfloat16)  # [kb, nb]
+    xe = x_ref[:, pl.ds(k * kb, kb)]
+    acc_ref[:] += jnp.dot(xe, wq, preferred_element_type=jnp.float32)
+
+    @pl.when(k == pl.num_programs(1) - 1)
+    def _finish():
+        o_ref[:] = (acc_ref[:] * s_ref[0, 0][None, :]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("kb", "nb", "out_dtype"))
+def _w8_call(x2, q8, scale, lidx, *, kb, nb, out_dtype):
+    Mp, K = x2.shape
+    L, _, N = q8.shape
+    grid = (N // nb, K // kb)
+    out = pl.pallas_call(
+        _kernel8,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                # x whole-resident: fetched once, sliced per block in VMEM
+                pl.BlockSpec((Mp, K), lambda n, k, l: (0, 0)),
+                pl.BlockSpec((1, kb, nb), lambda n, k, l: (l[0], k, n)),
+                pl.BlockSpec((1, 1, nb), lambda n, k, l: (l[0], 0, n)),
+            ],
+            out_specs=pl.BlockSpec((Mp, nb), lambda n, k, l: (0, n)),
+            scratch_shapes=[pltpu.VMEM((Mp, nb), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Mp * K * N,
+            bytes_accessed=K * N + N * 4 + Mp * K * 2 + Mp * N * 2,
+            transcendentals=0,
+        ),
+        interpret=_interpret(),
+    )(lidx, x2, q8, scale)
+    return out
+
+
+def w8a16_matmul(x: jax.Array, node: dict, out_dtype=None) -> jax.Array:
+    """x [..., K] @ dequant(node) → [..., N] for int8 serving leaves.
+
+    node = {"q8": int8 [K, N], "scale": f32 [1, N]} — or the layer-stacked
+    serving form {"q8": [L, K, N], "scale": [L, 1, N], "lidx": i} from the
+    decode scan. Decode-shaped row counts stream the PACKED int8 bytes
+    through a Pallas kernel (1 byte/weight of HBM traffic; the XLA path
+    dequantizes through an HBM-materialized bf16 copy when the consumer is
+    a scan-resident stacked buffer). Falls back to XLA dequantize-matmul
+    for prefill row counts, non-tiling geometries, or off-TPU.
+
+    Numerics: int8 → bf16 is exact, the dot accumulates fp32, and the
+    per-channel scale applies once at the end — at least as accurate as
+    the XLA path (which rounds q*scale to bf16 per weight first)."""
+    q8, scale = node["q8"], node["scale"]
+    stacked = q8.ndim == 3
+    *lead, K = x.shape
+    Kq, N = q8.shape[-2:]
+    assert K == Kq, (K, Kq)
+    M = 1
+    for d in lead:
+        M *= d
+    out_dtype = out_dtype or x.dtype
+
+    use_kernel = (not _interpret() or _FORCE_KERNEL) and M <= MAX_KERNEL_ROWS
+    kb = nb = None
+    if use_kernel:
+        kb = _pick_block(K, 256, _KBLK_CAP8)
+        nb = _pick_block(N, 128, _NBLK_CAP)
+        use_kernel = kb is not None and nb is not None
+
+    if not use_kernel:
+        return _reference8(x, node).astype(out_dtype)
+
+    if not stacked:
+        q8, scale = q8[None], scale[None]
+    lidx = jnp.asarray(node.get("lidx", 0), jnp.int32).reshape(1)
+    x2 = x.reshape(M, K).astype(jnp.bfloat16)
+    Mp = max(16, -(-M // 16) * 16)
+    if Mp != M:
+        x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
+    out = _w8_call(
+        x2, q8, scale.astype(jnp.float32), lidx,
+        kb=kb, nb=nb, out_dtype=out_dtype,
+    )
+    return out[:M].reshape(*lead, N)
 
 
 def w4a16_matmul(x: jax.Array, node: dict, out_dtype=None) -> jax.Array:

@@ -137,11 +137,12 @@ def quantize_for_serving(
     (by default) the LM head becomes an int8 or group-wise int4 leaf. Decode
     is weight-bandwidth bound (each step streams every parameter once);
     int8 halves that traffic, int4 quarters it — the serving analogue of
-    the reference's bitsandbytes load path. int8 dequantization fuses into
-    the consuming matmul inside the layer scan (models/transformer._w /
-    logits_from_hidden); int4 is consumed by the fused Pallas matmul
-    (ops/quant_matmul) that unpacks nibbles in VMEM so HBM only ever sees
-    the packed bytes."""
+    the reference's bitsandbytes load path. At decode row counts both are
+    consumed by fused Pallas matmuls (ops/quant_matmul.w8a16_matmul /
+    w4a16_matmul) that dequantize in VMEM so HBM only ever sees the packed
+    bytes; prefill/encode row counts dequantize one layer at a time inside
+    the scan (models/transformer._w / logits_from_hidden) and use the
+    native bf16 matmul."""
     out = quantize_tree(params, targets, bits=bits)
     if quantize_lm_head and "lm_head" in out:
         quantize = quantize_kernel if bits == 8 else quantize_kernel_int4

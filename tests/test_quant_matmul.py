@@ -95,6 +95,82 @@ def test_w4_kernel_leading_dims_and_fallbacks(monkeypatch):
     assert rel < 5e-3, rel
 
 
+@pytest.mark.parametrize(
+    "M,K,N",
+    [
+        (8, 512, 256),  # decode-shaped, one k-block
+        (3, 512, 384),  # M needs padding
+        (16, 1024, 512),  # two k-blocks at the int8 cap
+    ],
+)
+def test_w8_kernel_matches_reference(monkeypatch, M, K, N):
+    """The w8a16 Pallas kernel (interpret mode) against the fp32 oracle and
+    the XLA dequantize-matmul it replaces on the decode path."""
+    from gritlm_tpu.training.quant import dequantize_kernel, quantize_kernel
+
+    monkeypatch.setattr(qm, "_FORCE_KERNEL", True)
+    rng = np.random.default_rng(4)
+    w = jnp.asarray(rng.normal(size=(K, N)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(M, K)).astype(np.float32), jnp.bfloat16)
+    node = quantize_kernel(w)
+    got = np.asarray(qm.w8a16_matmul(x, node), np.float32)
+    exact = np.asarray(x, np.float32) @ np.asarray(
+        dequantize_kernel(node, jnp.float32)
+    )
+    rel = np.linalg.norm(got - exact) / np.linalg.norm(exact)
+    assert rel < 5e-3, rel
+    want = np.asarray(qm._reference8(x, node), np.float32)
+    rel_ref = np.linalg.norm(want - exact) / np.linalg.norm(exact)
+    assert rel < rel_ref + 5e-3, (rel, rel_ref)
+
+
+def test_w8_kernel_stacked_layer_select(monkeypatch):
+    """Layer-stacked serving form: lidx picks the right layer's weights."""
+    from gritlm_tpu.training.quant import quantize_kernel
+
+    monkeypatch.setattr(qm, "_FORCE_KERNEL", True)
+    rng = np.random.default_rng(5)
+    L, K, N = 3, 512, 256
+    w = jnp.asarray(rng.normal(size=(L, K, N)).astype(np.float32))
+    node = quantize_kernel(w)  # stacked: q8 [L,K,N], scale [L,1,N]
+    x = jnp.asarray(rng.normal(size=(4, K)), jnp.bfloat16)
+    for lidx in range(L):
+        got = np.asarray(
+            qm.w8a16_matmul(x, {**node, "lidx": jnp.int32(lidx)}), np.float32
+        )
+        want = np.asarray(
+            qm._reference8(x, {**node, "lidx": jnp.int32(lidx)}), np.float32
+        )
+        rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert rel < 5e-3, (lidx, rel)
+
+
+def test_w8_leading_dims_and_fallbacks(monkeypatch):
+    from gritlm_tpu.training.quant import quantize_kernel
+
+    monkeypatch.setattr(qm, "_FORCE_KERNEL", True)
+    rng = np.random.default_rng(6)
+    w = jnp.asarray(rng.normal(size=(256, 256)).astype(np.float32))
+    node = quantize_kernel(w)
+    x = jnp.asarray(rng.normal(size=(2, 4, 256)), jnp.bfloat16)
+    out = qm.w8a16_matmul(x, node)
+    assert out.shape == (2, 4, 256)
+    # prefill-sized row counts take the XLA path (same math, no kernel)
+    xb = jnp.asarray(rng.normal(size=(qm.MAX_KERNEL_ROWS + 1, 256)), jnp.bfloat16)
+    big = np.asarray(qm.w8a16_matmul(xb, node), np.float32)
+    want = np.asarray(qm._reference8(xb, node), np.float32)
+    rel = np.linalg.norm(big - want) / np.linalg.norm(want)
+    assert rel < 5e-3, rel
+    # non-tiling contracting dim (tiny test models) falls back too
+    wt = jnp.asarray(rng.normal(size=(96, 128)).astype(np.float32))
+    xt = jnp.asarray(rng.normal(size=(4, 96)), jnp.bfloat16)
+    nt = quantize_kernel(wt)
+    np.testing.assert_allclose(
+        np.asarray(qm.w8a16_matmul(xt, nt), np.float32),
+        np.asarray(qm._reference8(xt, nt), np.float32), rtol=5e-3, atol=1e-3,
+    )
+
+
 def _models():
     from gritlm_tpu.config import tiny_mistral
     from gritlm_tpu.gritlm import GritLM
