@@ -191,6 +191,14 @@ def _w4_call(x2, packed, scale, lidx, *, kbp, nb, g, out_dtype):
 
 
 _KBLK_CAP8 = 512  # int8 contracting-block cap (no nibble temps → roomier)
+_MBLK_CAP8 = 256  # row-block cap: lets the kernel cover prefill row counts
+# int8 row-count ceiling. Decode (M≤128) is weight-bandwidth-bound: the
+# kernel reads 1 byte/weight vs the XLA dequant path's ~5 (int8 read +
+# bf16 write + bf16 read of the materialized copy). Chunked-prefill row
+# counts stay traffic-bound until roughly M ≈ 2·peak_flops/(5·HBM_BW)
+# ≈ 600 rows on v5e — past that the native bf16 matmul is MXU-bound and
+# dequant materialization amortizes, so the kernel stops paying.
+MAX_KERNEL_ROWS8 = 512
 
 
 def _kernel8(lidx_ref, x_ref, w_ref, s_ref, o_ref, acc_ref):
@@ -199,44 +207,41 @@ def _kernel8(lidx_ref, x_ref, w_ref, s_ref, o_ref, acc_ref):
     accumulator at the last k step (quantize_kernel's scale is per [1, N],
     not per k-group, so it commutes out of the contraction — unlike int4's
     grouped scales, which must weight each partial block)."""
-    k = pl.program_id(1)
+    k = pl.program_id(2)
 
     @pl.when(k == 0)
     def _init():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    kb = w_ref.shape[1]
     wq = w_ref[0].astype(jnp.bfloat16)  # [kb, nb]
-    xe = x_ref[:, pl.ds(k * kb, kb)]
-    acc_ref[:] += jnp.dot(xe, wq, preferred_element_type=jnp.float32)
+    acc_ref[:] += jnp.dot(x_ref[:], wq, preferred_element_type=jnp.float32)
 
-    @pl.when(k == pl.num_programs(1) - 1)
+    @pl.when(k == pl.num_programs(2) - 1)
     def _finish():
         o_ref[:] = (acc_ref[:] * s_ref[0, 0][None, :]).astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("kb", "nb", "out_dtype"))
-def _w8_call(x2, q8, scale, lidx, *, kb, nb, out_dtype):
+@functools.partial(jax.jit, static_argnames=("mb", "kb", "nb", "out_dtype"))
+def _w8_call(x2, q8, scale, lidx, *, mb, kb, nb, out_dtype):
     Mp, K = x2.shape
     L, _, N = q8.shape
-    grid = (N // nb, K // kb)
+    grid = (Mp // mb, N // nb, K // kb)
     out = pl.pallas_call(
         _kernel8,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
             in_specs=[
-                # x whole-resident: fetched once, sliced per block in VMEM
-                pl.BlockSpec((Mp, K), lambda n, k, l: (0, 0)),
-                pl.BlockSpec((1, kb, nb), lambda n, k, l: (l[0], k, n)),
-                pl.BlockSpec((1, 1, nb), lambda n, k, l: (l[0], 0, n)),
+                pl.BlockSpec((mb, kb), lambda m, n, k, l: (m, k)),
+                pl.BlockSpec((1, kb, nb), lambda m, n, k, l: (l[0], k, n)),
+                pl.BlockSpec((1, 1, nb), lambda m, n, k, l: (l[0], 0, n)),
             ],
-            out_specs=pl.BlockSpec((Mp, nb), lambda n, k, l: (0, n)),
-            scratch_shapes=[pltpu.VMEM((Mp, nb), jnp.float32)],
+            out_specs=pl.BlockSpec((mb, nb), lambda m, n, k, l: (m, n)),
+            scratch_shapes=[pltpu.VMEM((mb, nb), jnp.float32)],
         ),
         out_shape=jax.ShapeDtypeStruct((Mp, N), out_dtype),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * Mp * K * N,
@@ -253,11 +258,13 @@ def w8a16_matmul(x: jax.Array, node: dict, out_dtype=None) -> jax.Array:
 
     node = {"q8": int8 [K, N], "scale": f32 [1, N]} — or the layer-stacked
     serving form {"q8": [L, K, N], "scale": [L, 1, N], "lidx": i} from the
-    decode scan. Decode-shaped row counts stream the PACKED int8 bytes
-    through a Pallas kernel (1 byte/weight of HBM traffic; the XLA path
-    dequantizes through an HBM-materialized bf16 copy when the consumer is
-    a scan-resident stacked buffer). Falls back to XLA dequantize-matmul
-    for prefill row counts, non-tiling geometries, or off-TPU.
+    decode scan. Row counts up to MAX_KERNEL_ROWS8 stream the PACKED int8
+    bytes through a Pallas kernel (1 byte/weight of HBM traffic; the XLA
+    path dequantizes through an HBM-materialized bf16 copy ≈5 bytes/weight)
+    — that covers decode steps AND chunked-prefill blocks, both of which
+    are dequant-traffic-bound. Falls back to XLA dequantize-matmul for
+    encode/full-prefill row counts (MXU-bound — the copy amortizes),
+    non-tiling geometries, or off-TPU.
 
     Numerics: int8 → bf16 is exact, the dot accumulates fp32, and the
     per-channel scale applies once at the end — at least as accurate as
@@ -272,7 +279,7 @@ def w8a16_matmul(x: jax.Array, node: dict, out_dtype=None) -> jax.Array:
         M *= d
     out_dtype = out_dtype or x.dtype
 
-    use_kernel = (not _interpret() or _FORCE_KERNEL) and M <= MAX_KERNEL_ROWS
+    use_kernel = (not _interpret() or _FORCE_KERNEL) and M <= MAX_KERNEL_ROWS8
     kb = nb = None
     if use_kernel:
         kb = _pick_block(K, 256, _KBLK_CAP8)
@@ -286,12 +293,15 @@ def w8a16_matmul(x: jax.Array, node: dict, out_dtype=None) -> jax.Array:
         q8, scale = q8[None], scale[None]
     lidx = jnp.asarray(node.get("lidx", 0), jnp.int32).reshape(1)
     x2 = x.reshape(M, K).astype(jnp.bfloat16)
-    Mp = max(16, -(-M // 16) * 16)
+    # pad rows to the block: decode rounds to one sublane-aligned block,
+    # prefill rows to a multiple of the row-block cap
+    mb = max(16, min(_MBLK_CAP8, -(-M // 16) * 16))
+    Mp = -(-M // mb) * mb
     if Mp != M:
         x2 = jnp.pad(x2, ((0, Mp - M), (0, 0)))
     out = _w8_call(
         x2, q8, scale.astype(jnp.float32), lidx,
-        kb=kb, nb=nb, out_dtype=out_dtype,
+        mb=mb, kb=kb, nb=nb, out_dtype=out_dtype,
     )
     return out[:M].reshape(*lead, N)
 

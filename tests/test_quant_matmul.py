@@ -101,6 +101,7 @@ def test_w4_kernel_leading_dims_and_fallbacks(monkeypatch):
         (8, 512, 256),  # decode-shaped, one k-block
         (3, 512, 384),  # M needs padding
         (16, 1024, 512),  # two k-blocks at the int8 cap
+        (300, 512, 256),  # prefill-shaped: two row blocks + row padding
     ],
 )
 def test_w8_kernel_matches_reference(monkeypatch, M, K, N):
@@ -155,8 +156,10 @@ def test_w8_leading_dims_and_fallbacks(monkeypatch):
     x = jnp.asarray(rng.normal(size=(2, 4, 256)), jnp.bfloat16)
     out = qm.w8a16_matmul(x, node)
     assert out.shape == (2, 4, 256)
-    # prefill-sized row counts take the XLA path (same math, no kernel)
-    xb = jnp.asarray(rng.normal(size=(qm.MAX_KERNEL_ROWS + 1, 256)), jnp.bfloat16)
+    # encode-sized row counts take the XLA path (same math, no kernel)
+    xb = jnp.asarray(
+        rng.normal(size=(qm.MAX_KERNEL_ROWS8 + 1, 256)), jnp.bfloat16
+    )
     big = np.asarray(qm.w8a16_matmul(xb, node), np.float32)
     want = np.asarray(qm._reference8(xb, node), np.float32)
     rel = np.linalg.norm(big - want) / np.linalg.norm(want)
