@@ -589,8 +589,21 @@ def bench_train(cfg, params):
 def main() -> None:
     import jax
 
-    os.makedirs("/tmp/gritlm_tpu_jax_cache", exist_ok=True)
-    jax.config.update("jax_compilation_cache_dir", "/tmp/gritlm_tpu_jax_cache")
+    # cache dir keyed by host CPU flags: the 7B cell compiles host-side
+    # (default_device(cpu)) programs whose XLA:CPU AOT results embed
+    # machine features — loading entries compiled on a different host
+    # type SIGILLs (see tests/conftest.py, same scheme)
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(ln for ln in f if ln.startswith("flags"))
+    except Exception:
+        flags = "unknown"
+    cache = ("/tmp/gritlm_tpu_jax_cache_"
+             + hashlib.sha1(flags.encode()).hexdigest()[:10])
+    os.makedirs(cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from __graft_entry__ import _bench_config

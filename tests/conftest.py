@@ -17,11 +17,33 @@ except Exception:
 jax.config.update("jax_default_matmul_precision", "highest")
 # persistent compile cache: the suite is compile-dominated (hundreds of
 # executables over an 8-device virtual mesh), so warm reruns skip most of
-# the XLA work; the cold-run wall time is what README documents
+# the XLA work; the cold-run wall time is what README documents.
+# The dir is keyed by a fingerprint of the host CPU flags: XLA:CPU AOT
+# results embed machine features, and loading an entry compiled on a
+# different host type SIGILLs/aborts mid-suite (observed when /tmp
+# outlived a host change — cpu_aot_loader warns, then dies).
+import hashlib  # noqa: E402
 import os  # noqa: E402
 
-os.makedirs("/tmp/gritlm_tpu_jax_cache_tests", exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", "/tmp/gritlm_tpu_jax_cache_tests")
+
+def _host_cache_dir(prefix: str) -> str:
+    try:
+        with open("/proc/cpuinfo") as f:
+            flags = next(ln for ln in f if ln.startswith("flags"))
+    except Exception:
+        import platform
+
+        flags = platform.processor() or "unknown"
+    tag = hashlib.sha1(flags.encode()).hexdigest()[:10]
+    path = f"{prefix}_{tag}"
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    _host_cache_dir("/tmp/gritlm_tpu_jax_cache_tests"),
+)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import pytest  # noqa: E402
