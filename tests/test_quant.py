@@ -123,3 +123,38 @@ def test_qlora_merge_export(cfg, params):
     ids = jax.random.randint(jax.random.PRNGKey(7), (1, 8), 0, cfg.vocab_size)
     logits, _, _ = forward_lm(merged, cfg, ids, causal=True)
     assert np.all(np.isfinite(np.asarray(logits, np.float32)))
+
+
+def test_host_quantized_init_tree_matches(cfg):
+    """bench.py's synthesized w8a16 host init must be tree-identical
+    (paths, shapes, dtypes) to the real quantize_for_serving(init_params)
+    output — it stands in for the 7B cell's params, so any structural
+    drift would silently bench a different model."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from bench import _init_params_quantized_host
+
+    from gritlm_tpu.models import init_params
+    from gritlm_tpu.training.quant import quantize_for_serving
+
+    real = quantize_for_serving(
+        init_params(cfg, jax.random.PRNGKey(0), with_lm_head=True)
+    )
+    fake = _init_params_quantized_host(cfg)
+
+    def spec(tree):
+        flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+        return {
+            jax.tree_util.keystr(path): (tuple(leaf.shape), str(leaf.dtype))
+            for path, leaf in flat
+        }
+    assert spec(fake) == spec(real)
+    # and the synthesized model must run finite through the full trunk
+    from gritlm_tpu.models.transformer import forward_lm
+
+    params = jax.tree_util.tree_map(jnp.asarray, fake)
+    ids = jax.random.randint(jax.random.PRNGKey(1), (1, 16), 0,
+                             cfg.vocab_size)
+    logits, _, _ = forward_lm(params, cfg, ids, causal=True)
+    assert np.all(np.isfinite(np.asarray(logits, np.float32)))
