@@ -295,14 +295,24 @@ def run_candidate(candidate: str, test_code: str, timeout: float = 5.0) -> bool:
     timeout (the bigcode-harness execution model, minimally). A direct
     `python -c` subprocess rather than multiprocessing: fork() under a
     multithreaded JAX runtime deadlocks/warns, and spawn re-imports the
-    parent's __main__ (broken under `python -` / embedded runners)."""
+    parent's __main__ (broken under `python -` / embedded runners).
+
+    `timeout` bounds the CANDIDATE's execution, enforced inside the child
+    via SIGALRM/setitimer — interpreter startup (seconds under host load)
+    must not count against it. The outer subprocess.run timeout is only a
+    generous backstop for a wedged interpreter."""
     import subprocess
     import sys
 
+    prog = (
+        "import signal\n"
+        f"signal.setitimer(signal.ITIMER_REAL, {float(timeout)!r})\n"
+        + candidate + "\n" + test_code
+    )
     try:
         proc = subprocess.run(
-            [sys.executable, "-c", candidate + "\n" + test_code],
-            capture_output=True, timeout=timeout,
+            [sys.executable, "-c", prog],
+            capture_output=True, timeout=timeout + 60.0,
         )
         return proc.returncode == 0
     except (subprocess.TimeoutExpired, OSError):
