@@ -29,7 +29,7 @@ approx_max_k(recall_target=1.0) is value-exact but measured 84 ms — the
 hardware PartialReduce path degenerates at exactness; discarded.
 
 Usage: python scripts/exp_search.py [--n 1000000] [--q 256] [--k 100]
-       [--global]
+       [--global] [--seg-sweep]
 """
 
 import argparse
@@ -50,6 +50,9 @@ def main():
     ap.add_argument("--reps", type=int, default=8)
     ap.add_argument("--global", dest="global_", action="store_true",
                     help="also time the naive global lax.top_k (minutes)")
+    ap.add_argument("--seg-sweep", action="store_true",
+                    help="time the pallas variant at SEG in {256,128,64,32}"
+                         " (kernel constraint: TILE_N/SEG >= 8 sublanes)")
     args = ap.parse_args()
 
     import jax
@@ -102,9 +105,11 @@ def main():
         v, _ = pruned_tail(s, s.reshape(Q, ns, SEG).max(axis=2), SEG)
         return v.sum(axis=1)
 
-    def v_pallas(e, qq):
+    def v_pallas(e, qq, seg=None):
+        seg = seg or FlatIndex.PALLAS_SEGMENT
+        idx.PALLAS_SEGMENT = seg  # instance attr shadows the class default
         s, segmax_t = FlatIndex._pallas_scores_segmax(idx, qq, e, n_docs)
-        v, _ = pruned_tail(s, segmax_t.T, FlatIndex.PALLAS_SEGMENT)
+        v, _ = pruned_tail(s, segmax_t.T, seg)
         return v.sum(axis=1)
 
     def v_approx(e, qq):
@@ -141,7 +146,13 @@ def main():
                 ("approx", v_approx)]
     if jax.default_backend() == "tpu" and N % FlatIndex.PALLAS_TILE_N == 0 \
             and Q % 8 == 0:
-        variants.insert(2, ("exact(pallas)", v_pallas))
+        if args.seg_sweep:
+            import functools
+            for sg in (128, 64, 32):  # SEG=256 -> ns_blk=4 < 8 sublanes
+                variants.insert(2, (f"pallas seg={sg}",
+                                    functools.partial(v_pallas, seg=sg)))
+        else:
+            variants.insert(2, ("exact(pallas)", v_pallas))
     if args.global_:
         variants.append(("global", v_global))
     for name, f in variants:
